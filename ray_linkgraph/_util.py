@@ -1,0 +1,46 @@
+"""Deterministic vectorized hashing + small shared helpers.
+
+All synthetic-data generation and sampling in this repo is driven by
+counter-based hashing (splitmix64) so results are bit-identical across
+runs, chunk sizes, and parallelism levels (FIXTURES.md §5 determinism
+requirement; mirrors the reference's seeded-sampling determinism note,
+SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays (public domain
+    algorithm, Steele et al.)."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(_U64) + _U64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_u64(*streams: "np.ndarray | int") -> np.ndarray:
+    """Combine integer streams (broadcastable arrays / scalars) into one
+    deterministic uint64 stream."""
+    acc = None
+    with np.errstate(over="ignore"):
+        for s in streams:
+            a = np.asarray(s, dtype=np.uint64)
+            h = splitmix64(a)
+            acc = h if acc is None else splitmix64(acc ^ (h + _U64(0x9E3779B97F4A7C15)))
+    return acc
+
+
+def uniform01(*streams) -> np.ndarray:
+    """Deterministic uniform [0,1) doubles from integer streams."""
+    return (hash_u64(*streams) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def ceil_div(a: int, b: int) -> int:
+    return -(-a // b)

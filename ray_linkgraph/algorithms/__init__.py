@@ -1,0 +1,13 @@
+from .pagerank import PageRankProgram, pagerank
+from .wcc import WccProgram, wcc
+from .lpa import LpaProgram, lpa
+from .degree import DegreeProgram, degree_centrality
+from .sssp import SsspProgram, sssp
+from .kcore import KCoreProgram, kcore
+from .triangle import triangle_count, clustering_coefficient
+
+__all__ = [
+    "PageRankProgram", "pagerank", "WccProgram", "wcc", "LpaProgram", "lpa",
+    "DegreeProgram", "degree_centrality", "SsspProgram", "sssp",
+    "KCoreProgram", "kcore", "triangle_count", "clustering_coefficient",
+]

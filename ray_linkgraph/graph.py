@@ -1,0 +1,375 @@
+"""Distributed graph build: url dictionary encode + partitioned edge layout.
+
+Reproduces WHAT the reference's input step computes — not how:
+
+* **Dictionary encode** (url -> dense int64 v_id) is the analog of the
+  reference's fixed-length id remap, supersteps -2/-1 with
+  ``input.use_id_fixlength=true``
+  (/root/reference/computer-core/.../compute/FileGraphPartition.java:243-370,
+  orchestrated in WorkerService.execute:249-280). Ids are assigned in the
+  reference's BytesId order — ``(byte_length, unsigned bytes)``
+  (/root/reference/computer-core/.../graph/id/BytesId.java:224-233 via
+  BytesUtil.compare, length-first) — so plain int64 ``min`` on v_ids
+  reproduces reference min-Id semantics exactly (WCC components, LPA
+  tie-breaks). See SURVEY.md §1.2.
+
+* **Edge canonicalization** (drop self-loops, dedup multi-edges) is the
+  analog of the reference's IdSet neighbor dedup
+  (/root/reference/computer-algorithm/.../trianglecount/TriangleCount.java:74-85)
+  and EdgeFrequency.SINGLE ingest.
+
+* **Partitioned persistence** (one sorted edge file per partition +
+  manifest) is the analog of the reference input-step partition files +
+  info manifest (/root/reference/computer-core/.../compute/ComputeManager.java:90-184),
+  and is what makes graph build resumable: a rerun with the same
+  ``graph_dir`` reuses finished artifacts.
+
+Scale notes: every wide step is a single Ray Data groupby shuffle keyed
+by either the url range-bucket (dictionary, encode joins) or the dst/src
+vertex partition (edge layout); nothing materializes the full dataset on
+the driver. The dictionary join ships only the per-bucket dictionary
+shard into each group task (range-bucketed merge join), never the whole
+dictionary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ._util import ceil_div
+
+SAMPLE_MOD = 64          # deterministic sample: crc32(url) % SAMPLE_MOD == 0
+SAMPLE_LIMIT = 200_000   # driver-side cap on boundary sample size
+
+
+# ---------------------------------------------------------------------------
+# id-order helpers: reference BytesId order == order of sort_key(url)
+# ---------------------------------------------------------------------------
+
+def sort_key(url: str) -> bytes:
+    """Composite key whose plain bytes order equals the reference Id order
+    (length-first, then unsigned lexicographic bytes)."""
+    b = url.encode("utf-8")
+    return len(b).to_bytes(4, "big") + b
+
+
+def _sort_keys(urls) -> list[bytes]:
+    out = []
+    for u in urls:
+        b = u.encode("utf-8")
+        out.append(len(b).to_bytes(4, "big") + b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# graph handle
+# ---------------------------------------------------------------------------
+
+class Graph:
+    """Handle over the on-disk graph artifacts in ``graph_dir``.
+
+    Layout::
+
+        graph_dir/meta.json                          V, P, bucket offsets, edge counts
+        graph_dir/dict/bucket_{b:05d}.parquet        url, local_idx (sorted by Id order)
+        graph_dir/edges_out/part_{p:05d}.parquet     src_id, dst_id[, weight] sorted, deduped
+        graph_dir/edges_both/part_{p:05d}.parquet    symmetrized variant (built on demand)
+    """
+
+    def __init__(self, graph_dir: str, meta: dict):
+        self.dir = graph_dir
+        self.meta = meta
+
+    # -- basic accessors ----------------------------------------------------
+    @property
+    def V(self) -> int:
+        return self.meta["V"]
+
+    @property
+    def P(self) -> int:
+        return self.meta["P"]
+
+    @property
+    def part_size(self) -> int:
+        return self.meta["part_size"]
+
+    def part_bounds(self, p: int) -> tuple[int, int]:
+        lo = p * self.part_size
+        return lo, min(self.V, lo + self.part_size)
+
+    def edges_path(self, mode: str, p: int) -> str:
+        return os.path.join(self.dir, f"edges_{mode}", f"part_{p:05d}.parquet")
+
+    def num_edges(self, mode: str) -> int:
+        return self.meta["edge_counts"][mode]
+
+    @classmethod
+    def load(cls, graph_dir: str) -> "Graph":
+        with open(os.path.join(graph_dir, "meta.json")) as f:
+            return cls(graph_dir, json.load(f))
+
+    def save_meta(self):
+        tmp = os.path.join(self.dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.dir, "meta.json"))
+
+    # -- dictionary lookups (driver-side, small results) --------------------
+    def ids_to_urls(self, ids: np.ndarray) -> list[str]:
+        """Resolve v_ids back to urls (reads only the needed dict shards)."""
+        offsets = np.asarray(self.meta["bucket_offsets"], dtype=np.int64)
+        out = [None] * len(ids)
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = np.asarray(ids)[order]
+        bucket_of = np.searchsorted(offsets, sorted_ids, side="right") - 1
+        for b in np.unique(bucket_of):
+            t = pq.read_table(os.path.join(self.dir, "dict", f"bucket_{b:05d}.parquet"))
+            urls = t.column("url").to_pylist()
+            sel = bucket_of == b
+            for pos, vid in zip(order[sel], sorted_ids[sel]):
+                out[pos] = urls[vid - offsets[b]]
+        return out
+
+    def dictionary_ds(self):
+        """The url<->v_id dictionary as a Dataset (url, v_id)."""
+        files = sorted(
+            os.path.join(self.dir, "dict", f)
+            for f in os.listdir(os.path.join(self.dir, "dict")))
+        offsets = self.meta["bucket_offsets"]
+
+        def add_vid(batch: pa.Table) -> pa.Table:
+            b = batch.column("bucket").to_numpy()
+            li = batch.column("local_idx").to_numpy()
+            vid = np.asarray(offsets, dtype=np.int64)[b] + li
+            return pa.table({"url": batch.column("url"),
+                             "v_id": pa.array(vid, type=pa.int64())})
+
+        return ray.data.read_parquet(files).map_batches(add_vid, batch_format="pyarrow")
+
+    def ensure_mode(self, mode: str):
+        if mode == "out" or mode in self.meta["edge_counts"]:
+            return
+        if mode != "both":
+            raise ValueError(f"unknown edge mode {mode!r}")
+        _build_both_mode(self)
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def build_graph(edges_ds, graph_dir: str, n_parts: int,
+                extra_url_ds=None, weight_col: str | None = None,
+                n_buckets: int | None = None) -> Graph:
+    """edges_ds: Dataset(src:string, dst:string[, weight]) -> on-disk Graph.
+
+    Vertex set = {src} ∪ {dst} ∪ extra_url_ds (e.g. all page urls, so
+    pages without in/out links are still vertices, as the reference loads
+    isolated vertices).
+    """
+    if os.path.exists(os.path.join(graph_dir, "meta.json")):
+        g = Graph.load(graph_dir)
+        if g.meta["P"] == n_parts:
+            return g
+    os.makedirs(os.path.join(graph_dir, "dict"), exist_ok=True)
+    os.makedirs(os.path.join(graph_dir, "edges_out"), exist_ok=True)
+    n_buckets = n_buckets or n_parts
+
+    # ---- 1. vertex url stream (per-batch local dedup to shrink) ----------
+    def batch_urls(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            arrs = [batch.column(c) for c in cols]
+            u = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                                  else a for a in arrs])
+            return pa.table({"url": u.unique()})
+        return fn
+
+    urls_ds = edges_ds.map_batches(batch_urls(["src", "dst"]), batch_format="pyarrow")
+    if extra_url_ds is not None:
+        urls_ds = urls_ds.union(
+            extra_url_ds.map_batches(batch_urls(["url"]), batch_format="pyarrow"))
+
+    # ---- 2. range-bucket boundaries from a deterministic sample ----------
+    def sample_fn(batch: pa.Table) -> pa.Table:
+        us = batch.column("url").to_pylist()
+        keep = [u for u in us if zlib.crc32(u.encode()) % SAMPLE_MOD == 0]
+        return pa.table({"url": pa.array(keep, type=pa.string())})
+
+    sample = [r["url"] for r in
+              urls_ds.map_batches(sample_fn, batch_format="pyarrow")
+                     .limit(SAMPLE_LIMIT).take_all()]
+    keys = sorted(set(_sort_keys(sample)))
+    if len(keys) >= n_buckets:
+        idxs = [int(len(keys) * b / n_buckets) for b in range(1, n_buckets)]
+        boundaries = [keys[i] for i in idxs]
+    else:
+        boundaries = keys  # tiny data: fewer effective buckets
+    boundaries_arr = np.array(boundaries, dtype=object)
+    nb = len(boundaries) + 1
+
+    def assign_bucket_url(batch: pa.Table) -> pa.Table:
+        ks = np.array(_sort_keys(batch.column("url").to_pylist()), dtype=object)
+        b = (np.searchsorted(boundaries_arr, ks, side="right")
+             if len(boundaries_arr) else np.zeros(len(ks), dtype=np.int64))
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    # ---- 3. per-bucket dedup + Id-order sort -> dict shards ---------------
+    dict_dir = os.path.join(graph_dir, "dict")
+
+    def build_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        u = (pl.DataFrame({"url": df["url"].to_numpy()})
+             .unique()
+             .with_columns(pl.col("url").str.len_bytes().alias("_len"))
+             .sort(["_len", "url"])      # polars sorts utf8 by bytes => Id order
+             .drop("_len"))
+        t = u.to_arrow()
+        t = t.append_column("bucket", pa.array(np.full(len(t), b), type=pa.int64()))
+        t = t.append_column("local_idx", pa.array(np.arange(len(t)), type=pa.int64()))
+        pq.write_table(t, os.path.join(dict_dir, f"bucket_{b:05d}.parquet"))
+        return pd.DataFrame({"bucket": [b], "count": [len(t)]})
+
+    counts_rows = (urls_ds.map_batches(assign_bucket_url, batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(build_bucket, batch_format="pandas")
+                   .take_all())
+    counts = {int(r["bucket"]): int(r["count"]) for r in counts_rows}
+    # buckets with no urls still need dict files for ids_to_urls/encode
+    for b in range(nb):
+        if b not in counts:
+            pq.write_table(pa.table({"url": pa.array([], type=pa.string()),
+                                     "bucket": pa.array([], type=pa.int64()),
+                                     "local_idx": pa.array([], type=pa.int64())}),
+                           os.path.join(dict_dir, f"bucket_{b:05d}.parquet"))
+            counts[b] = 0
+    offsets = np.zeros(nb, dtype=np.int64)
+    for b in range(1, nb):
+        offsets[b] = offsets[b - 1] + counts[b - 1]
+    V = int(offsets[-1] + counts[nb - 1])
+
+    # ---- 4. encode edges: bucketed range merge-join against dict shards ---
+    def encode_side(ds, col: str, out_col: str):
+        def assign(batch: pa.Table) -> pa.Table:
+            ks = np.array(_sort_keys(batch.column(col).to_pylist()), dtype=object)
+            b = (np.searchsorted(boundaries_arr, ks, side="right")
+                 if len(boundaries_arr) else np.zeros(len(ks), dtype=np.int64))
+            return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+        def join_group(df: pd.DataFrame) -> pd.DataFrame:
+            b = int(df["bucket"].iloc[0])
+            shard = pq.read_table(
+                os.path.join(dict_dir, f"bucket_{b:05d}.parquet"),
+                columns=["url", "local_idx"]).to_pandas()
+            shard[out_col] = shard["local_idx"] + int(offsets[b])
+            out = df.merge(shard[["url", out_col]], left_on=col, right_on="url",
+                           how="left")
+            drop = ["bucket", col]
+            if "url" != col:
+                drop.append("url")
+            return out.drop(columns=drop)
+
+        return (ds.map_batches(assign, batch_format="pyarrow")
+                  .groupby("bucket").map_groups(join_group, batch_format="pandas"))
+
+    enc = encode_side(edges_ds, "src", "src_id")
+    enc = encode_side(enc, "dst", "dst_id")
+
+    # ---- 5. drop self-loops, partition by src, dedup, persist -------------
+    part_size = ceil_div(max(V, 1), n_parts)
+    e_dir = os.path.join(graph_dir, "edges_out")
+    cols = ["src_id", "dst_id"] + ([weight_col] if weight_col else [])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_id").to_numpy()
+        d = batch.column("dst_id").to_numpy()
+        keep = s != d
+        t = batch.select(cols).filter(pa.array(keep))
+        part = t.column("src_id").to_numpy() // part_size
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    n_edges = _write_partition_files(
+        enc.map_batches(prep, batch_format="pyarrow"), e_dir, weight_col)
+
+    meta = {
+        "V": V,
+        "P": n_parts,
+        "part_size": part_size,
+        "n_buckets": nb,
+        "bucket_offsets": offsets.tolist(),
+        "boundaries_hex": [b.hex() for b in boundaries],
+        "weight_col": weight_col,
+        "edge_counts": {"out": n_edges},
+    }
+    g = Graph(graph_dir, meta)
+    g.save_meta()
+    return g
+
+
+def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None) -> int:
+    """groupby(part) -> per-partition sorted+deduped parquet; returns total
+    edge count after dedup. Dedup keeps min weight per (src,dst) when a
+    weight column exists (deterministic; SQL oracles replicate)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        p = int(df["part"].iloc[0])
+        lf = pl.DataFrame({
+            "src_id": df["src_id"].to_numpy().astype(np.int64),
+            "dst_id": df["dst_id"].to_numpy().astype(np.int64),
+            **({"weight": df[weight_col].to_numpy().astype(np.float64)}
+               if weight_col else {}),
+        })
+        if weight_col:
+            lf = (lf.group_by(["src_id", "dst_id"]).agg(pl.col("weight").min())
+                    .sort(["src_id", "dst_id"]))
+        else:
+            lf = lf.unique().sort(["src_id", "dst_id"])
+        pq.write_table(lf.to_arrow(), os.path.join(out_dir, f"part_{p:05d}.parquet"))
+        return pd.DataFrame({"part": [p], "count": [len(lf)]})
+
+    rows = parted_ds.groupby("part").map_groups(write_part, batch_format="pandas").take_all()
+    return int(sum(r["count"] for r in rows))
+
+
+def _build_both_mode(g: Graph):
+    """Symmetrized (undirected) edge layout from the directed canonical one.
+
+    The reference gets undirected semantics by loading each edge in both
+    directions (``input.vertex_with_edges_bothdirection``,
+    /root/reference/computer-core/.../config/ComputerOptions.java:933-939);
+    here it is one extra shuffle over the already-canonical directed edges,
+    cached under edges_both/.
+    """
+    files = [g.edges_path("out", p) for p in range(g.P)
+             if os.path.exists(g.edges_path("out", p))]
+    part_size = g.part_size
+    out_dir = os.path.join(g.dir, "edges_both")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_id").to_numpy()
+        d = batch.column("dst_id").to_numpy()
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        part = src // part_size
+        return pa.table({"src_id": pa.array(src, type=pa.int64()),
+                         "dst_id": pa.array(dst, type=pa.int64()),
+                         "part": pa.array(part, type=pa.int64())})
+
+    if files:
+        ds = ray.data.read_parquet(files, columns=["src_id", "dst_id"])
+        n = _write_partition_files(ds.map_batches(sym, batch_format="pyarrow"),
+                                   out_dir, None)
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+    g.meta["edge_counts"]["both"] = n
+    g.save_meta()

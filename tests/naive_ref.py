@@ -1,0 +1,135 @@
+"""Naive pure-Python implementations of the REFERENCE per-vertex
+semantics (SURVEY.md §2.10) used as golden oracles. Deliberately slow and
+literal — these mirror the Java loops, not our vectorized kernels.
+
+PageRank:   /root/reference/computer-algorithm/.../pagerank/PageRank.java:68-141
+WCC:        .../community/wcc/Wcc.java:47-72
+LPA:        .../community/lpa/Lpa.java:50-101
+Triangles:  .../community/trianglecount/TriangleCount.java:69-195
+SSSP:       .../path/sssp/Sssp.java:57-127
+KCore:      .../community/kcore/KCore.java:55-92
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def naive_pagerank(V, out_adj, alpha=0.15, thresh=1e-6, max_steps=10):
+    """Returns (ranks, supersteps_executed)."""
+    deg = np.array([len(a) for a in out_adj])
+    rank = np.full(V, 1.0 / V)
+    cum = rank.sum()
+    dang = rank[deg == 0].sum()
+    steps = 1
+    for s in range(1, max_steps):
+        inc = np.zeros(V)
+        for u in range(V):
+            if deg[u]:
+                c = rank[u] / deg[u]
+                for d in out_adj[u]:
+                    inc[d] += c
+        new = ((dang / V + inc) * (1 - alpha) + alpha / V) / cum
+        l1 = np.abs(new - rank).sum()
+        cum = new.sum()
+        dang = new[deg == 0].sum()
+        rank = new
+        steps = s + 1
+        if s > 1 and l1 <= thresh:
+            break
+    return rank, steps
+
+
+def naive_wcc(V, undirected_adj):
+    """Round-synchronous min-label propagation to fixpoint."""
+    lab = np.array([min([v] + list(undirected_adj[v]))
+                    for v in range(V)], dtype=np.int64)
+    while True:
+        nl = lab.copy()
+        for v in range(V):
+            for u in undirected_adj[v]:
+                if lab[u] < nl[v]:
+                    nl[v] = lab[u]
+        if (nl == lab).all():
+            return lab
+        lab = nl
+
+
+def naive_lpa(V, undirected_adj, rounds=9):
+    """rounds = supersteps - 1 vote rounds (reference runs 10 supersteps:
+    compute0 + 9 votes). Vote: max count, tie -> min label."""
+    lab = np.arange(V, dtype=np.int64)
+    for _ in range(rounds):
+        nl = lab.copy()
+        for v in range(V):
+            if not undirected_adj[v]:
+                continue
+            counts = {}
+            for u in undirected_adj[v]:
+                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            # tie -> min label
+            mx = best[1]
+            nl[v] = min(l for l, c in counts.items() if c == mx)
+        lab = nl
+    return lab
+
+
+def naive_triangles(V, undirected_adj):
+    """Per-vertex count via the reference's lower-id neighbor-list
+    intersection (TriangleCount.java:174-195)."""
+    nbr = [set(a) for a in undirected_adj]
+    out = np.zeros(V, dtype=np.int64)
+    for v in range(V):
+        cnt = 0
+        for u in nbr[v]:
+            lower_u = [w for w in nbr[u] if w < u]
+            for w in lower_u:
+                if w in nbr[v]:
+                    cnt += 1
+        out[v] = cnt
+    return out
+
+
+def naive_sssp(V, out_adj_w, sources, max_steps=10):
+    """out_adj_w: per-vertex list of (dst, weight). Mirrors the
+    reference's rebroadcast-on-receive rule."""
+    dist = np.full(V, np.inf)
+    for s in sources:
+        dist[s] = 0.0
+    inbox = {}
+    for s in sources:
+        for d, w in out_adj_w[s]:
+            inbox[d] = min(inbox.get(d, np.inf), dist[s] + w)
+    for _ in range(1, max_steps):
+        if not inbox:
+            break
+        nxt = {}
+        for v, m in inbox.items():
+            if m < dist[v]:
+                dist[v] = m
+            for d, w in out_adj_w[v]:
+                val = dist[v] + w
+                if val < nxt.get(d, np.inf):
+                    nxt[d] = val
+        inbox = nxt
+    return np.where(np.isfinite(dist), dist, -1.0)
+
+
+def naive_kcore(V, undirected_adj, k=3):
+    core = np.array([len(a) for a in undirected_adj], dtype=np.int64)
+    doomed = [v for v in range(V) if core[v] < k]
+    core[[v for v in doomed]] = 0
+    while doomed:
+        deletions = {}
+        for v in doomed:
+            for u in undirected_adj[v]:
+                deletions[u] = deletions.get(u, 0) + 1
+        doomed = []
+        for u, c in deletions.items():
+            if core[u] > 0:
+                core[u] -= c
+                if core[u] < k:
+                    core[u] = 0
+                    doomed.append(u)
+    return core

@@ -1,0 +1,194 @@
+"""End-to-end conformance: pages -> extract -> graph build -> algorithms,
+checked against naive pure-Python implementations of the reference
+per-vertex semantics (tests/naive_ref.py) on the SAME inputs, plus an
+independent reconstruction of the expected graph from the generator spec
+(so the extraction+build pipeline itself is validated, not just the
+kernels)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from ray_linkgraph.pages import pages_table, out_targets, hash_u64
+from ray_linkgraph.extract import extract_links
+from ray_linkgraph.graph import Graph, build_graph, sort_key
+from ray_linkgraph.algorithms import (pagerank, wcc, lpa, degree_centrality,
+                                      sssp, kcore, triangle_count,
+                                      clustering_coefficient)
+
+import naive_ref
+
+N = 200
+SEED = 42
+P = 4
+
+
+def expected_graph():
+    """(url2id, id2url, canonical directed edge set) straight from the
+    generator spec — independent of the extraction/build code path."""
+    t = pages_table(N, SEED)
+    urls = t.column("url").to_pylist()
+    raw = []
+    all_urls = set(urls)
+    for i in range(N):
+        for j in out_targets(i, N, SEED):
+            raw.append((urls[i], urls[j]))
+        if i % 23 == 7:
+            comp = 0 if i < max(6, int(N * 0.9)) else 1
+            off = int(hash_u64(np.uint64(SEED), np.uint64(i), 9)[()] % 50)
+            u = f"https://offsite{comp}.example/x{off}"
+            raw.append((urls[i], u))
+            all_urls.add(u)
+    ordered = sorted(all_urls, key=sort_key)
+    url2id = {u: i for i, u in enumerate(ordered)}
+    edges = {(url2id[s], url2id[d]) for s, d in raw if s != d}
+    return url2id, ordered, edges
+
+
+@pytest.fixture(scope="module")
+def built(work_dir):
+    t = pages_table(N, SEED)
+    g = build_graph(extract_links(rd.from_arrow(t)),
+                    os.path.join(work_dir, "graph_t1"), n_parts=P,
+                    extra_url_ds=rd.from_arrow(t.select(["url"])))
+    url2id, id2url, edges = expected_graph()
+    return g, url2id, id2url, edges
+
+
+def load_edges(g: Graph, mode="out"):
+    E = set()
+    for p in range(g.P):
+        path = g.edges_path(mode, p)
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            E |= set(zip(t.column("src_id").to_pylist(),
+                         t.column("dst_id").to_pylist()))
+    return E
+
+
+def adj_out(V, edges):
+    out = [[] for _ in range(V)]
+    for s, d in sorted(edges):
+        out[s].append(d)
+    return out
+
+
+def adj_both(V, edges):
+    a = [set() for _ in range(V)]
+    for s, d in edges:
+        a[s].add(d)
+        a[d].add(s)
+    return [sorted(x) for x in a]
+
+
+# ---------------------------------------------------------------------------
+
+def test_dictionary_id_order(built):
+    g, url2id, id2url, _ = built
+    assert g.V == len(id2url)
+    assert g.ids_to_urls(np.arange(g.V)) == id2url
+    d = g.dictionary_ds().to_pandas().sort_values("v_id")
+    assert d["url"].tolist() == id2url
+    assert d["v_id"].tolist() == list(range(g.V))
+
+
+def test_canonical_edges(built):
+    g, url2id, _, edges = built
+    got = load_edges(g, "out")
+    assert got == edges                      # deduped, self-loops dropped
+    assert g.num_edges("out") == len(edges)
+    g.ensure_mode("both")
+    both = load_edges(g, "both")
+    assert both == edges | {(d, s) for s, d in edges}
+
+
+def test_pagerank_vs_reference_semantics(built):
+    g, _, _, edges = built
+    res = pagerank(g, max_supersteps=60).to_arrow().to_pandas() \
+        .sort_values("v_id")
+    ranks, steps = naive_ref.naive_pagerank(g.V, adj_out(g.V, edges),
+                                            max_steps=60)
+    got = res["rank"].to_numpy()
+    assert np.allclose(got, ranks, atol=1e-6, rtol=0)
+    assert np.abs(got - ranks).max() < 1e-10  # same formula, same order
+    r2 = pagerank(g, max_supersteps=60)
+    assert r2.supersteps == steps             # identical iteration count
+
+
+def test_pagerank_max_supersteps_bound(built):
+    g, _, _, edges = built
+    res = pagerank(g, max_supersteps=10).to_arrow().to_pandas() \
+        .sort_values("v_id")
+    ranks, steps = naive_ref.naive_pagerank(g.V, adj_out(g.V, edges),
+                                            max_steps=10)
+    assert steps == 10
+    assert np.allclose(res["rank"].to_numpy(), ranks, atol=1e-12, rtol=0)
+
+
+def test_wcc_exact(built):
+    g, _, _, edges = built
+    res = wcc(g).to_arrow().to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_wcc(g.V, adj_both(g.V, edges))
+    assert (res["component"].to_numpy() == exp).all()
+    assert len(set(exp)) >= 2                 # the two generator components
+
+
+def test_lpa_exact(built):
+    g, _, _, edges = built
+    res = lpa(g, max_supersteps=10).to_arrow().to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_lpa(g.V, adj_both(g.V, edges), rounds=9)
+    assert (res["label"].to_numpy() == exp).all()
+
+
+def test_degree(built):
+    g, _, _, edges = built
+    res = degree_centrality(g).to_arrow().to_pandas().sort_values("v_id")
+    deg = np.array([len(a) for a in adj_out(g.V, edges)])
+    assert (res["degree"].to_numpy() == deg).all()
+    res_b = degree_centrality(g, mode="both").to_arrow().to_pandas() \
+        .sort_values("v_id")
+    degb = np.array([len(a) for a in adj_both(g.V, edges)])
+    assert (res_b["degree"].to_numpy() == degb).all()
+
+
+def test_sssp(built):
+    g, _, _, edges = built
+    sources = [0, 5]
+    res = sssp(g, sources, max_supersteps=10).to_arrow().to_pandas() \
+        .sort_values("v_id")
+    adj_w = [[(d, 1.0) for d in a] for a in adj_out(g.V, edges)]
+    exp = naive_ref.naive_sssp(g.V, adj_w, sources, max_steps=10)
+    assert np.allclose(res["distance"].to_numpy(), exp, atol=0)
+
+
+def test_kcore(built):
+    g, _, _, edges = built
+    res = kcore(g, k=3).to_arrow().to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_kcore(g.V, adj_both(g.V, edges), k=3)
+    assert (res["core"].to_numpy() == exp).all()
+
+
+def test_triangle_count_exact(built):
+    g, url2id, _, edges = built
+    res = triangle_count(g).to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_triangles(g.V, adj_both(g.V, edges))
+    assert len(res) == g.V
+    assert (res["triangles"].to_numpy() == exp).all()
+    # clique-of-6 members participate in >= C(5,2) = 10 triangles
+    t = pages_table(N, SEED)
+    urls = t.column("url").to_pylist()
+    for i in range(6):
+        assert exp[url2id[urls[i]]] >= 10
+
+
+def test_clustering_coefficient(built):
+    g, _, _, edges = built
+    res = clustering_coefficient(g).to_pandas().sort_values("v_id")
+    tri = naive_ref.naive_triangles(g.V, adj_both(g.V, edges))
+    deg = np.array([len(a) for a in adj_both(g.V, edges)], dtype=np.float64)
+    denom = deg * (deg - 1)
+    exp = np.where(denom > 0, 2.0 * tri / denom, 0.0)
+    assert np.allclose(res["coefficient"].to_numpy(), exp, atol=0)
