@@ -1,44 +1,90 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ray_linkgraph) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()``: one entry per implemented operator
+(SURVEY.md §2). The graph operators run over a deterministic link graph
+derived from ``orders`` (see ray_linkgraph/tpch.py) through the full
+engine path (dictionary encode -> partitioned canonical edges -> BSP
+actor pool); the oracles compute the same recurrences as unrolled
+ANSI-SQL CTEs. Iterative algorithms compare at a fixed superstep count;
+floating aggregates are rounded to 10 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ray_linkgraph import tpch
+from ray_linkgraph.ops import entries as ops_entries
+
+
+def _register_by_value():
+    """Ray worker processes inherit sys.path from ray.init time, not from
+    this import — if the driver initialised Ray from another cwd, workers
+    could not import ray_linkgraph. Registering the package for by-value
+    cloudpickle serialization makes every task/actor self-contained."""
+    try:
+        from ray import cloudpickle
+        for name, mod in list(sys.modules.items()):
+            if name == "ray_linkgraph" or name.startswith("ray_linkgraph."):
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
+
+_register_by_value()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: derived link graph -> PageRank to
+    1e-6 convergence -> per-node ranks (node, rank)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray_linkgraph.algorithms import pagerank
+
+    g = tpch.gate_graph("/root/testdata/sf0.001")
+    res = pagerank(g, l1_threshold=1e-6, max_supersteps=100)
+    nm = tpch._node_map(g)
+    df = res.to_arrow().to_pandas().sort_values("v_id")
+    return pa.table({"node": pa.array(nm[df["v_id"].to_numpy()]),
+                     "rank": pa.array(df["rank"].to_numpy())})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        "edges_derive": tpch.q_edges,
+        "degree_centrality": tpch.q_degree,
+        "pagerank_k6": tpch.q_pagerank,
+        "wcc": tpch.q_wcc_nodes,
+        "lpa_k10": tpch.q_lpa,
+        "triangle_count": tpch.q_triangles,
+        "sssp_k10": tpch.q_sssp,
+        "kcore_k3": tpch.q_kcore,
+    }
+    q.update(ops_entries.queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "edges_derive": tpch.sql_edges(),
+        "degree_centrality": tpch.sql_degree(),
+        "pagerank_k6": tpch.sql_pagerank(),
+        "wcc": tpch.sql_wcc(),
+        "lpa_k10": tpch.sql_lpa(),
+        "triangle_count": tpch.sql_triangles(),
+        "sssp_k10": tpch.sql_sssp(),
+        "kcore_k3": tpch.sql_kcore(),
+    }
+    o.update(ops_entries.oracle_sql())
+    return o

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute-force cosine top-k: the query matrix is broadcast once with
+  ray.put and read in each actor's __init__ (never re-shipped per
+  batch); each batch computes a numpy matmul and emits only its local
+  top-k per query, so the final per-query reduce sees
+  O(k * num_batches) rows, not the whole table.
+* IVF-style ANN: deterministic seeded centroids, vectors bucketed by
+  nearest centroid; queries probe the nprobe nearest buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .._util import hash_u64
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+
+class BatchTopK:
+    """Stateful stage: query matrix fetched once per actor."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        vecs = _normalize(np.stack(batch.column(self.vec_col).to_pylist())
+                          .astype(np.float64))
+        sims = self.q @ vecs.T                      # (Q, B)
+        k = min(self.k, sims.shape[1])
+        # local top-k per query with deterministic (sim desc, id asc) order
+        order = np.lexsort((ids[None, :].repeat(len(self.q), 0), -sims),
+                           axis=1)[:, :k]
+        qi = np.repeat(np.arange(len(self.q)), k)
+        vi = order.reshape(-1)
+        return pa.table({
+            "query_idx": pa.array(qi.astype(np.int64)),
+            "vec_id": pa.array(ids[vi]),
+            "sim": pa.array(sims[qi, vi]),
+        })
+
+
+def knn_brute(emb_ds, queries: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              concurrency=(1, 8)):
+    """-> Dataset(query_idx, vec_id, sim, rank) exact cosine top-k."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = emb_ds.map_batches(
+        BatchTopK, fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["sim", "vec_id"], ascending=[False, True]) \
+            .head(k).reset_index(drop=True)
+        d["rank"] = np.arange(1, len(d) + 1)
+        return d
+
+    return partial.groupby("query_idx").map_groups(final_topk,
+                                                   batch_format="pandas")
+
+
+def ivf_index(emb_ds, n_centroids: int = 16, seed: int = 11,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Assign each vector to its nearest deterministic centroid.
+    Returns (centroids, bucketed Dataset with a 'bucket' column)."""
+    first = emb_ds.take(1)[0]
+    dim = len(first[vec_col])
+    u = hash_u64(np.uint64(seed),
+                 np.arange(n_centroids * dim, dtype=np.uint64))
+    cents = _normalize(((u >> np.uint64(11)).astype(np.float64)
+                        / float(1 << 53) - 0.5).reshape(n_centroids, dim))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.stack(batch.column(vec_col).to_pylist())
+                          .astype(np.float64))
+        b = np.argmax(vecs @ cents.T, axis=1)
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    return cents, emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, seed: int = 11, id_col: str = "vec_id",
+            vec_col: str = "embedding", concurrency=(1, 8)):
+    """Approximate cosine top-k: search only the nprobe nearest centroid
+    buckets per query. Same output schema as knn_brute."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cents, bucketed = ivf_index(emb_ds, n_centroids, seed, id_col, vec_col)
+    probe = np.argsort(-(q @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    wanted = np.array(sorted({int(b) for row in probe for b in row}),
+                      dtype=np.int64)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column("bucket"),
+                                     value_set=pa.array(wanted)))
+
+    sub = bucketed.map_batches(keep_probed, batch_format="pyarrow")
+    qref = ray.put(q)
+    partial = sub.map_batches(
+        BatchTopK, fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["sim", "vec_id"], ascending=[False, True]) \
+            .head(k).reset_index(drop=True)
+        d["rank"] = np.arange(1, len(d) + 1)
+        return d
+
+    return partial.groupby("query_idx").map_groups(final_topk,
+                                                   batch_format="pandas")

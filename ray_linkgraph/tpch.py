@@ -1,0 +1,321 @@
+"""Driver-gate pipelines: a deterministic link graph derived from the
+TPC-H-ish test tables, one query callable + one DuckDB oracle per
+algorithm (the driver compares them at sf=0.01, __ray_entry__.py).
+
+The testdata has no pages table, so the gate graph is derived from
+``orders``: ``src = o_custkey``, ``dst = (o_orderkey * 2654435761) %
+count(customer)`` — a Knuth-multiplicative scatter that both Ray and
+ANSI SQL compute identically in int64. The derived edges then flow
+through the SAME extraction-to-engine code path as the pages pipeline
+(stringify -> dictionary encode -> canonical partitioned layout -> BSP),
+so the gate exercises the real engine, not a shortcut.
+
+Node-id order parity: vertex ids are dictionary-encoded in the reference
+Id order (byte length first, then bytes — graph.py). For non-negative
+decimal integer strings that order IS numeric order ("9" < "10" because
+length compares first), so int64 min/tie-break semantics in the engine
+equal numeric min over the original keys, which is what the SQL oracles
+use.
+
+Iterative algorithms are compared at a FIXED superstep count, with the
+oracle unrolled as K chained CTEs computing the exact same recurrence
+(including PageRank's dangling redistribution and cumulative-rank
+normalization, PageRank.java:90-104). Floating aggregates are rounded
+to 10 decimals on both sides to absorb summation-order ULPs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .graph import Graph, build_graph
+from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
+                         triangle_count)
+
+MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
+CACHE_ROOT = "/tmp/ray_linkgraph_cache"
+P_GATE = 8
+SSSP_SOURCES = 5        # sources = nodes 0..4
+PR_STEPS = 6            # supersteps (incl. superstep 0) for pagerank_k
+WCC_ROUNDS = 20
+LPA_STEPS = 10          # supersteps (9 vote rounds), reference default
+SSSP_STEPS = 10
+KCORE_ROUNDS = 25
+
+
+def _ncust(sf_dir: str) -> int:
+    return pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")) \
+        .metadata.num_rows
+
+
+def derive_edges_ds(sf_dir: str):
+    """orders -> Dataset(src:string, dst:string, weight:double)."""
+    nc = _ncust(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        ck = batch.column("o_custkey").to_numpy()
+        dst = (ok * MULT) % nc
+        w = ((ck * 7 + dst * 13) % 10 + 1).astype(np.float64)
+        return pa.table({
+            "src": pa.array([str(x) for x in ck], type=pa.string()),
+            "dst": pa.array([str(x) for x in dst], type=pa.string()),
+            "weight": pa.array(w),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def gate_graph(sf_dir: str) -> Graph:
+    """Build (or reuse) the derived graph for sf_dir."""
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    gdir = os.path.join(CACHE_ROOT, f"tpch_{key}_p{P_GATE}")
+    return build_graph(derive_edges_ds(sf_dir), gdir, n_parts=P_GATE,
+                       weight_col="weight")
+
+
+def _node_map(g: Graph) -> np.ndarray:
+    """v_id -> original integer node id."""
+    return np.array([int(u) for u in g.ids_to_urls(np.arange(g.V))],
+                    dtype=np.int64)
+
+
+def _with_nodes(g: Graph, table: pa.Table, value_cols: dict) -> pa.Table:
+    nm = _node_map(g)
+    df = table.to_pandas().sort_values("v_id")
+    out = {"node": nm[df["v_id"].to_numpy()]}
+    for src_col, (dst_col, rnd) in value_cols.items():
+        v = df[src_col].to_numpy()
+        out[dst_col] = np.round(v, rnd) if rnd is not None else v
+    return pa.table({k: pa.array(v) for k, v in out.items()})
+
+
+# ---------------------------------------------------------------------------
+# query callables (each takes sf_dir, returns a pyarrow Table)
+# ---------------------------------------------------------------------------
+
+def q_edges(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    nm = _node_map(g)
+    srcs, dsts = [], []
+    for p in range(g.P):
+        path = g.edges_path("out", p)
+        if os.path.exists(path):
+            t = pq.read_table(path, columns=["src_id", "dst_id"])
+            srcs.append(t.column("src_id").to_numpy())
+            dsts.append(t.column("dst_id").to_numpy())
+    s = np.concatenate(srcs) if srcs else np.zeros(0, dtype=np.int64)
+    d = np.concatenate(dsts) if dsts else np.zeros(0, dtype=np.int64)
+    return pa.table({"src": pa.array(nm[s]), "dst": pa.array(nm[d])})
+
+
+def q_degree(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = degree_centrality(g).to_arrow()
+    return _with_nodes(g, res, {"degree": ("degree", None)})
+
+
+def q_pagerank(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = pagerank(g, l1_threshold=0.0, max_supersteps=PR_STEPS).to_arrow()
+    return _with_nodes(g, res, {"rank": ("rank", 10)})
+
+
+def q_wcc(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = wcc(g, max_supersteps=WCC_ROUNDS + 1).to_arrow()
+    return _with_nodes(g, res, {"component": ("component_vid", None)})
+
+
+def q_wcc_nodes(sf_dir: str) -> pa.Table:
+    """WCC with components labeled by original node id (oracle-friendly)."""
+    g = gate_graph(sf_dir)
+    res = wcc(g, max_supersteps=WCC_ROUNDS + 1).to_arrow()
+    nm = _node_map(g)
+    df = res.to_pandas().sort_values("v_id")
+    return pa.table({"node": pa.array(nm[df["v_id"].to_numpy()]),
+                     "component": pa.array(nm[df["component"].to_numpy()])})
+
+
+def q_lpa(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = lpa(g, max_supersteps=LPA_STEPS).to_arrow()
+    nm = _node_map(g)
+    df = res.to_pandas().sort_values("v_id")
+    return pa.table({"node": pa.array(nm[df["v_id"].to_numpy()]),
+                     "label": pa.array(nm[df["label"].to_numpy()])})
+
+
+def q_triangles(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = triangle_count(g)
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return _with_nodes(g, t, {"triangles": ("triangles", None)})
+
+
+def q_sssp(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    nm = _node_map(g)
+    # sources = original node ids 0..SSSP_SOURCES-1 -> v_ids
+    src_vids = np.flatnonzero(np.isin(nm, np.arange(SSSP_SOURCES)))
+    res = sssp(g, src_vids.tolist(), max_supersteps=SSSP_STEPS).to_arrow()
+    return _with_nodes(g, res, {"distance": ("distance", None)})
+
+
+def q_kcore(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = kcore(g, k=3, max_supersteps=KCORE_ROUNDS + 1).to_arrow()
+    return _with_nodes(g, res, {"core": ("core", None)})
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+SQL_BASE = f"""
+e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+             (o_orderkey * {MULT}) % (SELECT count(*) FROM customer) AS dst
+      FROM orders
+      WHERE o_custkey <> (o_orderkey * {MULT}) % (SELECT count(*) FROM customer)),
+v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ub AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM v),
+deg AS MATERIALIZED (SELECT v.node, COALESCE(d.c, 0) AS d FROM v
+        LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY src) d
+        ON d.src = v.node)
+"""
+
+
+def sql_edges() -> str:
+    return f"WITH {SQL_BASE} SELECT src, dst FROM e ORDER BY src, dst"
+
+
+def sql_degree() -> str:
+    return f"WITH {SQL_BASE} SELECT node, d AS degree FROM deg ORDER BY node"
+
+
+def sql_pagerank(steps: int = PR_STEPS, alpha: float = 0.15) -> str:
+    parts = [SQL_BASE.rstrip()]
+    parts.append("""
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nv) AS rank FROM v)""")
+    for s in range(1, steps):
+        p = s - 1
+        parts.append(f"""
+a{p} AS MATERIALIZED (SELECT sum(r.rank) AS cum,
+               sum(CASE WHEN deg.d = 0 THEN r.rank ELSE 0 END) AS dang
+        FROM r{p} r JOIN deg ON deg.node = r.node),
+r{s} AS MATERIALIZED (SELECT v.node,
+         (((SELECT dang FROM a{p}) / (SELECT n FROM nv) + COALESCE(inc.s, 0))
+          * {1.0 - alpha} + {alpha} / (SELECT n FROM nv))
+         / (SELECT cum FROM a{p}) AS rank
+         FROM v LEFT JOIN
+           (SELECT e.dst AS node, sum(r.rank / deg.d) AS s
+            FROM e JOIN r{p} r ON r.node = e.src
+            JOIN deg ON deg.node = e.src
+            GROUP BY e.dst) inc
+         ON inc.node = v.node)""")
+    body = ",".join(parts)
+    return (f"WITH {body} SELECT node, ROUND(rank, 10) AS rank "
+            f"FROM r{steps - 1} ORDER BY node")
+
+
+def sql_wcc(rounds: int = WCC_ROUNDS) -> str:
+    parts = [SQL_BASE.rstrip()]
+    parts.append("""
+l0 AS MATERIALIZED (SELECT v.node, least(v.node, COALESCE(m.mn, v.node)) AS lab
+       FROM v LEFT JOIN (SELECT a, min(b) AS mn FROM ub GROUP BY a) m
+       ON m.a = v.node)""")
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+l{r} AS MATERIALIZED (SELECT l.node, least(l.lab, COALESCE(m.mn, l.lab)) AS lab
+        FROM l{r - 1} l LEFT JOIN
+          (SELECT ub.a, min(x.lab) AS mn FROM ub
+           JOIN l{r - 1} x ON x.node = ub.b GROUP BY ub.a) m
+        ON m.a = l.node)""")
+    body = ",".join(parts)
+    return (f"WITH {body} SELECT node, lab AS component FROM l{rounds} "
+            f"ORDER BY node")
+
+
+def sql_lpa(steps: int = LPA_STEPS) -> str:
+    parts = [SQL_BASE.rstrip()]
+    parts.append("""
+l0 AS MATERIALIZED (SELECT node, node AS lab FROM v)""")
+    for r in range(1, steps):
+        parts.append(f"""
+c{r} AS MATERIALIZED (SELECT ub.a AS node, x.lab AS label, count(*) AS c
+        FROM ub JOIN l{r - 1} x ON x.node = ub.b GROUP BY ub.a, x.lab),
+w{r} AS MATERIALIZED (SELECT node, label FROM
+          (SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rn
+           FROM c{r}) t WHERE rn = 1),
+l{r} AS MATERIALIZED (SELECT l.node, COALESCE(w.label, l.lab) AS lab
+        FROM l{r - 1} l LEFT JOIN w{r} w ON w.node = l.node)""")
+    body = ",".join(parts)
+    return (f"WITH {body} SELECT node, lab AS label FROM l{steps - 1} "
+            f"ORDER BY node")
+
+
+def sql_triangles() -> str:
+    return f"""WITH {SQL_BASE},
+o AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM e),
+t AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM o e1 JOIN o e2 ON e2.x = e1.y
+      JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y),
+corners AS MATERIALIZED (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+SELECT v.node, COALESCE(cnt.c, 0) AS triangles
+FROM v LEFT JOIN (SELECT node, count(*) AS c FROM corners GROUP BY node) cnt
+ON cnt.node = v.node ORDER BY v.node"""
+
+
+def sql_sssp(steps: int = SSSP_STEPS, n_sources: int = SSSP_SOURCES) -> str:
+    parts = [SQL_BASE.rstrip()]
+    parts.append(f"""
+ew AS MATERIALIZED (SELECT src, dst,
+              CAST((src * 7 + dst * 13) % 10 + 1 AS DOUBLE) AS w FROM e),
+d0 AS MATERIALIZED (SELECT node, CASE WHEN node < {n_sources} THEN 0.0 END AS dist FROM v)""")
+    for r in range(1, steps):
+        parts.append(f"""
+d{r} AS MATERIALIZED (SELECT p.node,
+          CASE WHEN p.dist IS NULL THEN m.mn
+               WHEN m.mn IS NULL THEN p.dist
+               ELSE least(p.dist, m.mn) END AS dist
+        FROM d{r - 1} p LEFT JOIN
+          (SELECT ew.dst AS node, min(q.dist + ew.w) AS mn
+           FROM ew JOIN d{r - 1} q ON q.node = ew.src
+           WHERE q.dist IS NOT NULL GROUP BY ew.dst) m
+        ON m.node = p.node)""")
+    body = ",".join(parts)
+    return (f"WITH {body} SELECT node, COALESCE(dist, -1.0) AS distance "
+            f"FROM d{steps - 1} ORDER BY node")
+
+
+def sql_kcore(k: int = 3, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [SQL_BASE.rstrip()]
+    parts.append(f"""
+udeg AS MATERIALIZED (SELECT a AS node, count(*) AS d FROM ub GROUP BY a),
+alive0 AS MATERIALIZED (SELECT node FROM udeg WHERE d >= {k})""")
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+alive{r} AS MATERIALIZED (SELECT a.node FROM alive{r - 1} a
+            JOIN ub ON ub.a = a.node
+            JOIN alive{r - 1} b ON b.node = ub.b
+            GROUP BY a.node HAVING count(*) >= {k})""")
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT v.node,
+       CASE WHEN al.node IS NULL THEN 0 ELSE COALESCE(c.cnt, 0) END AS core
+FROM v LEFT JOIN alive{rounds} al ON al.node = v.node
+LEFT JOIN (SELECT ub.a AS node, count(*) AS cnt FROM ub
+           JOIN alive{rounds} x ON x.node = ub.b GROUP BY ub.a) c
+ON c.node = v.node ORDER BY v.node"""
