@@ -61,10 +61,12 @@ class PageRankProgram(VertexProgram):
         }
 
     def _scatter(self, ctx, rank, outdeg):
-        indptr, dst, _ = ctx.csr("out")
+        # full-adjacency scatter -> EdgeScatter fast path (the engine's
+        # cached routing plan replaces the per-superstep dst argsort;
+        # contrib is per-vertex, broadcast along out-edges by the plan)
+        from ..engine import EdgeScatter
         contrib = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
-        vals = np.repeat(contrib, outdeg)
-        return dst, {"val": vals}
+        return EdgeScatter("out", contrib), {}
 
     def compute0(self, ctx, state, g):
         outdeg = ctx.degrees("out")

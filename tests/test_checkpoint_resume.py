@@ -90,7 +90,7 @@ def test_manifest_lineage_and_metrics(graph, work_dir):
     assert set(m["parts"].keys()) == {str(p) for p in range(graph.P)}
     for p, info in m["parts"].items():
         assert os.path.exists(info["file"])
-        assert len(info["sha256"]) == 64
+        assert len(info["checksum"]) == 16
         assert info["msgs_out"] >= 0
     metrics = [json.loads(l) for l in
                open(os.path.join(ck, "metrics.jsonl"))]
