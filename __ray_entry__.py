@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": tpch.q_triangles,
         "sssp_k10": tpch.q_sssp,
         "kcore_k3": tpch.q_kcore,
+        "clustering_coefficient": tpch.q_clustering,
+        "ppr": tpch.q_ppr,
     }
     q.update(ops_entries.queries())
     return q
@@ -85,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": tpch.sql_triangles(),
         "sssp_k10": tpch.sql_sssp(),
         "kcore_k3": tpch.sql_kcore(),
+        "clustering_coefficient": tpch.sql_clustering(),
     }
     o.update(ops_entries.oracle_sql())
     return o

@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
-BENCH_V = int(os.environ.get("GRAFT_BENCH_V", str(8_000_000)))
+BENCH_V = int(os.environ.get("GRAFT_BENCH_V", str(4_000_000)))
 BENCH_DEG = int(os.environ.get("GRAFT_BENCH_DEG", "30"))
 BENCH_STEPS = int(os.environ.get("GRAFT_BENCH_STEPS", "12"))
 BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", str(200_000)))
@@ -185,7 +185,7 @@ def scaling():
     """
     n_lo = int(os.environ.get("GRAFT_SCALING_N", "2"))
     n_hi = 4 * n_lo
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     results = {}
     for n in (n_lo, n_hi):
         best = None

@@ -3,11 +3,13 @@ from .wcc import WccProgram, wcc
 from .lpa import LpaProgram, lpa
 from .degree import DegreeProgram, degree_centrality
 from .sssp import SsspProgram, sssp
+from .ppr import PprProgram, ppr, ppr_topk
 from .kcore import KCoreProgram, kcore
 from .triangle import triangle_count, clustering_coefficient
 
 __all__ = [
     "PageRankProgram", "pagerank", "WccProgram", "wcc", "LpaProgram", "lpa",
     "DegreeProgram", "degree_centrality", "SsspProgram", "sssp",
+    "PprProgram", "ppr", "ppr_topk",
     "KCoreProgram", "kcore", "triangle_count", "clustering_coefficient",
 ]

@@ -431,7 +431,10 @@ class PartitionWorker:
     def _route(self, dst_global, payload):
         """Split outgoing messages by destination partition, pre-combining
         each slice. Returns P objects (or None) + sent count."""
-        if isinstance(dst_global, EdgeScatter):
+        # name-based check: with cloudpickle by-value registration
+        # (__ray_entry__) the actor's EdgeScatter class object can be a
+        # distinct copy from the program module's, so isinstance fails
+        if dst_global.__class__.__name__ == "EdgeScatter":
             return self._route_edges(dst_global)
         outs = [None] * self.P
         if dst_global is None or len(dst_global) == 0:

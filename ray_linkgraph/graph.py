@@ -155,6 +155,35 @@ class Graph:
 
         return ray.data.read_parquet(files).map_batches(add_vid, batch_format="pyarrow")
 
+    def attach_urls(self, ds, v_id_col: str = "v_id"):
+        """Join vertex results back to their urls — the analog of the
+        reference's write-back output join (HugeOutput by vertex id,
+        /root/reference/computer-algorithm/.../louvain/hg/HugeOutput.java;
+        SURVEY.md §2.8 'result write-back join'). Range-bucketed: each
+        group task reads only its dictionary shard, so nothing is
+        broadcast and the join scales with the dictionary."""
+        offsets = np.asarray(self.meta["bucket_offsets"], dtype=np.int64)
+        dict_dir = os.path.join(self.dir, "dict")
+
+        def assign(batch: pa.Table) -> pa.Table:
+            v = batch.column(v_id_col).to_numpy()
+            b = np.searchsorted(offsets, v, side="right") - 1
+            return batch.append_column("_bucket",
+                                       pa.array(b, type=pa.int64()))
+
+        def join_group(df: pd.DataFrame) -> pd.DataFrame:
+            b = int(df["_bucket"].iloc[0])
+            shard = pq.read_table(
+                os.path.join(dict_dir, f"bucket_{b:05d}.parquet"),
+                columns=["url", "local_idx"]).to_pandas()
+            shard[v_id_col] = shard["local_idx"] + int(offsets[b])
+            out = df.merge(shard[["url", v_id_col]], on=v_id_col, how="left")
+            return out.drop(columns=["_bucket"])
+
+        return (ds.map_batches(assign, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(join_group, batch_format="pandas"))
+
     def ensure_mode(self, mode: str):
         if mode == "out" or mode in self.meta["edge_counts"]:
             return

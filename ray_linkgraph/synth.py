@@ -101,10 +101,22 @@ def build_synthetic_graph(graph_dir: str, V: int, avg_deg: int = 10,
             return g
     os.makedirs(graph_dir, exist_ok=True)
     part_size = ceil_div(V, n_parts)
-    counts = ray.get([
-        _count_part.remote(V, avg_deg, seed, p * part_size,
-                           min(V, (p + 1) * part_size))
-        for p in range(n_parts)])
+    # total edge count is independent of partitioning — cache it
+    cache = os.path.join(os.path.dirname(graph_dir.rstrip("/")) or ".",
+                         f"synthcount_V{V}_d{avg_deg}_s{seed}.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            total = json.load(f)["edges"]
+    else:
+        n_tasks = max(n_parts, 8)
+        step = ceil_div(V, n_tasks)
+        counts = ray.get([
+            _count_part.remote(V, avg_deg, seed, i * step,
+                               min(V, (i + 1) * step))
+            for i in range(n_tasks)])
+        total = int(sum(counts))
+        with open(cache, "w") as f:
+            json.dump({"edges": total}, f)
     meta = {
         "V": V,
         "P": n_parts,
@@ -115,7 +127,7 @@ def build_synthetic_graph(graph_dir: str, V: int, avg_deg: int = 10,
         "weight_col": None,
         "no_dictionary": True,    # ids ARE the vertex keys; no url dict
         "synthetic": {"V": V, "avg_deg": avg_deg, "seed": seed},
-        "edge_counts": {"out": int(sum(counts))},
+        "edge_counts": {"out": total},
     }
     g = Graph(graph_dir, meta)
     g.save_meta()

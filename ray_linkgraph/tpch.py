@@ -36,7 +36,7 @@ import ray.data
 
 from .graph import Graph, build_graph
 from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
-                         triangle_count)
+                         triangle_count, clustering_coefficient, ppr)
 
 MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
 CACHE_ROOT = "/tmp/ray_linkgraph_cache"
@@ -168,6 +168,24 @@ def q_sssp(sf_dir: str) -> pa.Table:
     src_vids = np.flatnonzero(np.isin(nm, np.arange(SSSP_SOURCES)))
     res = sssp(g, src_vids.tolist(), max_supersteps=SSSP_STEPS).to_arrow()
     return _with_nodes(g, res, {"distance": ("distance", None)})
+
+
+def q_clustering(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = clustering_coefficient(g)
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return _with_nodes(g, t, {"triangles": ("triangles", None),
+                              "coefficient": ("coefficient", 10)})
+
+
+def q_ppr(sf_dir: str) -> pa.Table:
+    """Rows-only check (frontier-gated recompute is not reasonably
+    SQL-expressible); per-vertex parity is covered by pytest."""
+    g = gate_graph(sf_dir)
+    nm = _node_map(g)
+    src_vid = int(np.flatnonzero(nm == 1)[0])   # source = node 1
+    res = ppr(g, src_vid, max_supersteps=30).to_arrow()
+    return _with_nodes(g, res, {"rank": ("ppr_rank", 10)})
 
 
 def q_kcore(sf_dir: str) -> pa.Table:
@@ -319,3 +337,24 @@ FROM v LEFT JOIN alive{rounds} al ON al.node = v.node
 LEFT JOIN (SELECT ub.a AS node, count(*) AS cnt FROM ub
            JOIN alive{rounds} x ON x.node = ub.b GROUP BY ub.a) c
 ON c.node = v.node ORDER BY v.node"""
+
+
+def sql_clustering() -> str:
+    return f"""WITH {SQL_BASE},
+o AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x,
+                   greatest(src, dst) AS y FROM e),
+t AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM o e1 JOIN o e2 ON e2.x = e1.y
+      JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y),
+corners AS MATERIALIZED (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t),
+tri AS MATERIALIZED (SELECT v.node, COALESCE(cnt.c, 0) AS triangles
+       FROM v LEFT JOIN (SELECT node, count(*) AS c FROM corners
+                         GROUP BY node) cnt ON cnt.node = v.node),
+udeg AS MATERIALIZED (SELECT a AS node, count(*) AS d FROM ub GROUP BY a)
+SELECT tri.node, tri.triangles,
+       CASE WHEN COALESCE(udeg.d, 0) > 1
+            THEN ROUND(2.0 * tri.triangles
+                       / (udeg.d * (udeg.d - 1.0)), 10)
+            ELSE 0.0 END AS coefficient
+FROM tri LEFT JOIN udeg ON udeg.node = tri.node ORDER BY tri.node"""

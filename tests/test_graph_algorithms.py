@@ -192,3 +192,76 @@ def test_clustering_coefficient(built):
     denom = deg * (deg - 1)
     exp = np.where(denom > 0, 2.0 * tri / denom, 0.0)
     assert np.allclose(res["coefficient"].to_numpy(), exp, atol=0)
+
+
+def test_ppr(built):
+    """PPR vs a naive mirror of the same frontier semantics (update rule
+    per PersonalPageRank.java:96-157; honest l1 — see ppr.py docstring)."""
+    from ray_linkgraph.algorithms import ppr
+    g, _, _, edges = built
+    # a source with out-edges (v_id 3 is an edge-only offsite vertex)
+    src = next(s for s, _ in sorted(edges) if s > 5)
+    res = ppr(g, src, max_supersteps=30).to_arrow().to_pandas() \
+        .sort_values("v_id")
+    out = adj_out(g.V, edges)
+    deg = np.array([len(a) for a in out])
+    alpha = 0.85
+    rank = np.zeros(g.V)
+    rank[src] = 1.0
+    cum = 1.0
+    senders = {src}
+    for s in range(1, 30):
+        inbox = {}
+        for u in senders:
+            if deg[u]:
+                c = rank[u] / deg[u]
+                for d in out[u]:
+                    inbox[d] = inbox.get(d, 0.0) + c
+        if not inbox:
+            break
+        run = set(inbox)
+        new = {v: (inbox.get(v, 0.0) * alpha
+                   + (1 - alpha) * (1.0 if v == src else 0.0)) / cum
+               for v in run}
+        l1 = sum(abs(new[v] - rank[v]) for v in run)
+        for v in run:
+            rank[v] = new[v]
+        cum = max(sum(rank[v] for v in run), 1e-300)
+        senders = run
+        if s > 1 and l1 <= 1e-6:
+            break
+    assert np.allclose(res["rank"].to_numpy(), rank, atol=1e-9, rtol=0)
+    assert res["rank"].to_numpy()[src] > 0
+
+
+def test_hub_skew_path(work_dir):
+    """g_hub (FIXTURES.md §3): a graph containing heavy hub sources with
+    out-degree 150 (> the reference's superedge threshold of 100,
+    ComputerOptions.java:196-203) goes down the same engine path and still
+    matches the naive oracles exactly — the skew treatment (map-side
+    combine + degree-oriented wedges) is semantics-preserving."""
+    import ray.data as rd
+    from ray_linkgraph.pages import out_targets
+    n = 2000
+    t = pages_table(n, SEED)
+    g = build_graph(extract_links(rd.from_arrow(t)),
+                    os.path.join(work_dir, "graph_hub"), n_parts=4,
+                    extra_url_ds=rd.from_arrow(t.select(["url"])))
+    # heavy hub sources exist in this graph
+    degs = {i: len(out_targets(i, n, SEED)) for i in range(n)}
+    assert max(degs.values()) >= 150
+    E = load_edges(g, "out")
+    # PageRank at 1e-6 vs naive
+    res = pagerank(g, max_supersteps=60).to_arrow().to_pandas() \
+        .sort_values("v_id")
+    ranks, steps = naive_ref.naive_pagerank(g.V, adj_out(g.V, E),
+                                            max_steps=60)
+    assert np.allclose(res["rank"].to_numpy(), ranks, atol=1e-9, rtol=0)
+    # WCC exact
+    comp = wcc(g).to_arrow().to_pandas().sort_values("v_id")["component"]
+    assert (comp.to_numpy() == naive_ref.naive_wcc(g.V,
+                                                   adj_both(g.V, E))).all()
+    # per-vertex triangles exact through the degree-oriented join path
+    tri = triangle_count(g).to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_triangles(g.V, adj_both(g.V, E))
+    assert (tri["triangles"].to_numpy() == exp).all()
