@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..engine import VertexProgram, run_program
+from ..engine import EdgeScatter, VertexProgram, run_program
 from ..graph import Graph
 
 ALPHA_DEFAULT = 0.15  # page_rank.alpha, PageRank.java:39-41
@@ -64,7 +64,6 @@ class PageRankProgram(VertexProgram):
         # full-adjacency scatter -> EdgeScatter fast path (the engine's
         # cached routing plan replaces the per-superstep dst argsort;
         # contrib is per-vertex, broadcast along out-edges by the plan)
-        from ..engine import EdgeScatter
         contrib = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
         return EdgeScatter("out", contrib), {}
 

@@ -45,7 +45,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from ._util import hash_u64
 from .graph import Graph
+from .synth import synth_edges_for_range
 
 I64MAX = np.iinfo(np.int64).max
 
@@ -57,7 +59,6 @@ I64MAX = np.iinfo(np.int64).max
 def _state_checksum(state: dict) -> str:
     """Fast vectorized content checksum for checkpoint lineage (position-
     sensitive splitmix64 mix — integrity marker, not cryptographic)."""
-    from ._util import hash_u64
     acc = np.uint64(0x5851F42D4C957F2D)
     with np.errstate(over="ignore"):
         for k in sorted(state):
@@ -281,7 +282,6 @@ class PartCtx:
                 if mode != "out":
                     raise ValueError(
                         "synthetic graphs provide out-mode adjacency only")
-                from .synth import synth_edges_for_range
                 src, dst = synth_edges_for_range(
                     spec["V"], spec["avg_deg"], spec["seed"],
                     self.lo, self.hi)
