@@ -44,3 +44,26 @@ def uniform01(*streams) -> np.ndarray:
 
 def ceil_div(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def drop_empty_blocks(ds):
+    """Rebuild ``ds`` without empty blocks (metadata-only check, blocks
+    stay in the object store).
+
+    Ray 2.49 ``map_batches`` skips the UDF on empty input blocks and
+    forwards schema-LESS empty blocks; pyarrow's join then fails with
+    "No match ... for key field reference" when such a block lands in a
+    hash partition. Call this on any map output that feeds a join.
+    Materializes the dataset; returns None if every block is empty.
+    """
+    import ray
+    import ray.data
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)

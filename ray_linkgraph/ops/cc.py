@@ -1,0 +1,118 @@
+"""Distributed connected components over a sparse pair list.
+
+Used by the near-dup dedup operators to turn verified duplicate PAIRS
+into cluster labels (cluster = min doc id of the component) without any
+driver-side union-find: iterated min-label propagation where every step
+is a Ray Data hash join + groupby over the pair graph only (which is
+sparse by construction — candidates that survived LSH banding and exact
+verification). The corpus itself is never touched here.
+
+Convergence detection is O(1) per round: labels only ever decrease, so
+``sum(label)`` is strictly monotone and stalls exactly at the fixpoint.
+
+This is the distributed analog of the reference WCC min-propagation
+(/root/reference/computer-algorithm/.../community/wcc/Wcc.java:47-72)
+specialized to the tiny pair graph; the full BSP engine would be
+overkill (it builds a partitioned on-disk graph first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from .._util import drop_empty_blocks
+
+
+def connected_components(pairs_ds, max_rounds: int = 50,
+                         num_partitions: int = 8):
+    """pairs_ds: Dataset(a:int64, b:int64) -> Dataset(node, label) with
+    label = min node id of the component. Only nodes appearing in pairs
+    are returned (isolated nodes are their own trivial cluster)."""
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    empty = ray.data.from_arrow(pa.table({
+        "node": pa.array([], type=pa.int64()),
+        "label": pa.array([], type=pa.int64())}))
+    edges = drop_empty_blocks(
+        pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
+    if edges is None:
+        return empty
+    labels = drop_empty_blocks(
+        edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
+        .map_batches(
+            lambda t: pa.table({
+                "node": t.column("src"),
+                "label": pa.array(np.minimum(t.column("src").to_numpy(),
+                                             t.column("nmin").to_numpy()),
+                                  type=pa.int64())}),
+            batch_format="pyarrow"))
+    if labels is None:
+        return empty
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+        # propagate: each node offers its label to its neighbors
+        msgs = edges.join(labels, "inner", num_partitions=num_partitions,
+                          on=("src",), right_on=("node",)) \
+            .map_batches(
+                lambda t: pa.table({"node": t.column("dst"),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow")
+        nxt = drop_empty_blocks(
+            msgs.union(labels).groupby("node")
+            .aggregate(Min("label", alias_name="label")))
+        if nxt is None:
+            break
+        labels = nxt
+    return labels
+
+
+def assign_clusters(ds, labels_ds, id_col: str = "doc_id",
+                    concurrency=(1, 8)):
+    """Attach (cluster, is_duplicate) to every row of ``ds`` by its id.
+
+    The label table is small by construction (only nodes of verified
+    duplicate pairs), so it is broadcast once with ray.put and looked up
+    inside map_batches — the corpus streams, nothing shuffles."""
+    import ray
+
+    lab_tbl = pa.concat_tables(ray.get(labels_ds.to_arrow_refs()))
+    keys = lab_tbl.column("node").to_numpy()
+    vals = lab_tbl.column("label").to_numpy()
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], vals[order]))
+
+    class Assign:
+        def __init__(self):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy()
+            cluster = ids.copy()
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ids)
+                pos = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[pos] == ids
+                cluster[hit] = self.vals[pos[hit]]
+            return pa.table({
+                id_col: pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(cluster, type=pa.int64()),
+                "is_duplicate": pa.array(cluster != ids),
+            })
+
+    return ds.map_batches(Assign, batch_format="pyarrow",
+                          concurrency=concurrency)

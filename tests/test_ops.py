@@ -66,11 +66,16 @@ def test_embedding_neardup():
         "vec_id": pa.array(range(5), type=pa.int64()),
         "embedding": pa.array([v.tolist() for v in vecs],
                               type=pa.list_(pa.float32()))})
-    out = dedup.embedding_neardup(rd.from_arrow(t), threshold=0.99,
-                                  n_planes=6).to_pandas()
+    out = dedup.embedding_neardup(rd.from_arrow(t),
+                                  threshold=0.99).to_pandas()
     by_id = dict(zip(out["vec_id"], out["cluster"]))
     assert by_id[4] == by_id[0]
     assert by_id[1] == 1 and by_id[2] == 2
+    # LSH-bucketed approximate variant finds the same planted dup
+    out2 = dedup.embedding_neardup_lsh(rd.from_arrow(t), threshold=0.99,
+                                       n_planes=4).to_pandas()
+    by_id2 = dict(zip(out2["vec_id"], out2["cluster"]))
+    assert by_id2[4] == by_id2[0]
 
 
 def test_knn_brute_matches_numpy():
