@@ -88,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_k10": tpch.sql_sssp(),
         "kcore_k3": tpch.sql_kcore(),
         "clustering_coefficient": tpch.sql_clustering(),
+        "ppr": tpch.sql_ppr(),
     }
     o.update(ops_entries.oracle_sql())
     return o

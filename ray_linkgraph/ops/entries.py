@@ -1,17 +1,23 @@
 """queries()/oracle_sql() entries for the training-data operators
-(documents / embeddings / events tables). SQL-expressible ops get a
-DuckDB oracle; MinHash/SimHash/fingerprint/ANN are rows-only checks
-(hash functions are not reasonably expressible in SQL) but are covered
-by pytest unit tests instead."""
+(documents / embeddings / events tables). EVERY op has a DuckDB
+oracle: the text hashing contracts (texthash.py) are modular BIGINT
+arithmetic expressible verbatim in SQL, the near-dup clustering is an
+iterated min-label CTE, and ANN cosine uses list_cosine_similarity +
+a row_number window."""
 
 from __future__ import annotations
 
 import os
 
 import numpy as np
+import pyarrow as pa
 import ray.data
 
-from . import dedup, events, similarity, text
+from . import dedup, events, similarity, text, texthash
+
+EMB_NEARDUP_T = 0.45   # gate threshold (test embeddings max pair cos ~0.51)
+KNN_K = 5
+KNN_NQ = 3
 
 US_HOUR = 3_600_000_000
 US_GAP = 1_800_000_000
@@ -73,23 +79,33 @@ def q_simhash_dedup(sf_dir):
 
 
 def q_embedding_neardup(sf_dir):
-    return dedup.embedding_neardup(_emb(sf_dir), threshold=0.95)
+    return dedup.embedding_neardup(_emb(sf_dir), threshold=EMB_NEARDUP_T)
 
 
-def _query_matrix(sf_dir, n=3):
-    t = _emb(sf_dir).filter(lambda r: r["vec_id"] < n).take_all()
+def _query_matrix(sf_dir, n=KNN_NQ):
+    t = _emb(sf_dir).filter(expr=f"vec_id < {n}").take_all()
     t.sort(key=lambda r: r["vec_id"])
     return np.stack([np.asarray(r["embedding"], dtype=np.float64)
                      for r in t])
 
 
+def _round_sim(ds):
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("sim")
+        return t.set_column(i, "sim",
+                            pa.array(np.round(t.column("sim").to_numpy(), 6)))
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_knn_brute(sf_dir):
-    return similarity.knn_brute(_emb(sf_dir), _query_matrix(sf_dir), k=5)
+    return _round_sim(
+        similarity.knn_brute(_emb(sf_dir), _query_matrix(sf_dir), k=KNN_K))
 
 
 def q_knn_ivf(sf_dir):
-    return similarity.knn_ivf(_emb(sf_dir), _query_matrix(sf_dir), k=5,
-                              n_centroids=8, nprobe=8)  # nprobe=all: exact
+    return _round_sim(
+        similarity.knn_ivf(_emb(sf_dir), _query_matrix(sf_dir), k=KNN_K,
+                           n_centroids=8, nprobe=8))  # nprobe=all: exact
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +122,97 @@ SELECT doc_id,
        WHEN {h['fr']} > 0 AND {h['fr']} > {h['en']} AND {h['fr']} > {h['de']} THEN 'fr'
        ELSE 'und' END AS lang_pred,
   greatest({h['en']}, {h['de']}, {h['fr']}) AS stop_hits
+FROM documents ORDER BY doc_id"""
+
+
+def _cluster_select(labels_cte: str, table: str, id_col: str) -> str:
+    return f"""
+SELECT t.{id_col}, COALESCE(l.lab, t.{id_col}) AS cluster,
+       COALESCE(l.lab, t.{id_col}) <> t.{id_col} AS is_duplicate
+FROM {table} t LEFT JOIN {labels_cte} l ON l.node = t.{id_col}
+ORDER BY t.{id_col}"""
+
+
+def _minhash_sql(threshold: float = 0.8, cc_rounds: int = 20) -> str:
+    """Full MinHash+LSH replica: band hashes (bit-identical texthash
+    CTEs) -> band-collision candidate pairs -> exact shingle-set Jaccard
+    verify -> iterated min-label connected components."""
+    return f"""
+WITH {texthash.sql_minhash_ctes()},
+cp AS MATERIALIZED (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2
+    ON b2.band = b1.band AND b2.bh = b1.bh AND b2.doc_id > b1.doc_id),
+vp AS MATERIALIZED (
+  SELECT cp.a, cp.b FROM cp
+  JOIN shl sa ON sa.doc_id = cp.a
+  JOIN shl sb ON sb.doc_id = cp.b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}),
+vn AS MATERIALIZED (SELECT a AS node FROM vp UNION SELECT b FROM vp),
+{texthash.sql_minlabel_ctes("vp", "vn", rounds=cc_rounds)}
+{_cluster_select(f"cl{cc_rounds}", "documents", "doc_id")}"""
+
+
+def _simhash_sql(max_hamming: int = 3, cc_rounds: int = 20) -> str:
+    """SimHash replica: 62-bit signatures (bit-identical CTEs) -> 4x16
+    quarter-band candidate pairs -> Hamming<=h verify via
+    bit_count(xor) -> min-label connected components."""
+    return f"""
+WITH {texthash.sql_simhash_ctes()},
+qq AS MATERIALIZED (
+  SELECT doc_id, simhash, q.q AS q,
+         (simhash >> (16 * q.q)) & 65535 AS qv
+  FROM sh, (SELECT unnest(range(4)) AS q) q),
+vp AS MATERIALIZED (
+  SELECT DISTINCT q1.doc_id AS a, q2.doc_id AS b
+  FROM qq q1 JOIN qq q2
+    ON q2.q = q1.q AND q2.qv = q1.qv AND q2.doc_id > q1.doc_id
+  WHERE bit_count(xor(q1.simhash, q2.simhash)) <= {max_hamming}),
+vn AS MATERIALIZED (SELECT a AS node FROM vp UNION SELECT b FROM vp),
+{texthash.sql_minlabel_ctes("vp", "vn", rounds=cc_rounds)}
+{_cluster_select(f"cl{cc_rounds}", "documents", "doc_id")}"""
+
+
+def _embedding_neardup_sql(threshold: float = EMB_NEARDUP_T,
+                           cc_rounds: int = 20) -> str:
+    """Exact cosine all-pairs >= threshold + min-label components
+    (brute-force pair SQL — fine at gate scale)."""
+    return f"""
+WITH vp AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+        >= {threshold}),
+vn AS MATERIALIZED (SELECT a AS node FROM vp UNION SELECT b FROM vp),
+{texthash.sql_minlabel_ctes("vp", "vn", rounds=cc_rounds)}
+{_cluster_select(f"cl{cc_rounds}", "embeddings", "vec_id")}"""
+
+
+def _knn_sql(k: int = KNN_K, nq: int = KNN_NQ) -> str:
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_idx, embedding AS qe FROM embeddings
+  WHERE vec_id < {nq}),
+s AS MATERIALIZED (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e, q),
+r AS MATERIALIZED (
+  SELECT query_idx, vec_id, sim,
+         row_number() OVER (PARTITION BY query_idx
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s)
+SELECT query_idx, vec_id, ROUND(sim, 6) AS sim, rank
+FROM r WHERE rank <= {k} ORDER BY query_idx, rank"""
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+SELECT doc_id, {texthash.sql_cp_fold('text')} AS fingerprint
 FROM documents ORDER BY doc_id"""
 
 
@@ -164,4 +271,10 @@ SELECT user_id,
          AS n_sessions,
        count(*) AS n_events
 FROM x GROUP BY user_id ORDER BY user_id""",
+        "doc_fingerprint": _fingerprint_sql(),
+        "minhash_lsh_dedup": _minhash_sql(),
+        "simhash_neardup": _simhash_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
+        "knn_cosine_brute": _knn_sql(),
+        "knn_cosine_ivf": _knn_sql(),
     }

@@ -47,6 +47,7 @@ WCC_ROUNDS = 20
 LPA_STEPS = 10          # supersteps (9 vote rounds), reference default
 SSSP_STEPS = 10
 KCORE_ROUNDS = 25
+PPR_SOURCE = 1          # ppr source = original node id 1
 
 
 def _ncust(sf_dir: str) -> int:
@@ -179,12 +180,14 @@ def q_clustering(sf_dir: str) -> pa.Table:
 
 
 def q_ppr(sf_dir: str) -> pa.Table:
-    """Rows-only check (frontier-gated recompute is not reasonably
-    SQL-expressible); per-vertex parity is covered by pytest."""
+    """PPR at a FIXED superstep count so the frontier-gated recurrence
+    (only message receivers recompute, cum = sum over receivers) unrolls
+    to the sql_ppr CTE chain exactly."""
     g = gate_graph(sf_dir)
     nm = _node_map(g)
-    src_vid = int(np.flatnonzero(nm == 1)[0])   # source = node 1
-    res = ppr(g, src_vid, max_supersteps=30).to_arrow()
+    src_vid = int(np.flatnonzero(nm == PPR_SOURCE)[0])
+    res = ppr(g, src_vid, l1_threshold=-1.0,
+              max_supersteps=PR_STEPS).to_arrow()
     return _with_nodes(g, res, {"rank": ("ppr_rank", 10)})
 
 
@@ -243,6 +246,41 @@ r{s} AS MATERIALIZED (SELECT v.node,
     body = ",".join(parts)
     return (f"WITH {body} SELECT node, ROUND(rank, 10) AS rank "
             f"FROM r{steps - 1} ORDER BY node")
+
+
+def sql_ppr(steps: int = PR_STEPS, alpha: float = 0.85,
+            source: int = PPR_SOURCE) -> str:
+    """Unrolled PPR with the engine's frontier semantics (ppr.py /
+    PersonalPageRank.java:96-157): only message RECEIVERS recompute
+    (others keep their old rank), and the cumulative-rank divisor is the
+    sum over the receivers of the PREVIOUS superstep only."""
+    parts = [SQL_BASE.rstrip()]
+    parts.append(f"""
+p0 AS MATERIALIZED (SELECT node,
+        CASE WHEN node = {source} THEN 1.0 ELSE 0.0 END AS rank FROM v),
+f0 AS MATERIALIZED (SELECT node FROM v WHERE node = {source}),
+c0 AS MATERIALIZED (SELECT 1.0 AS c)""")
+    for s in range(1, steps):
+        p = s - 1
+        parts.append(f"""
+m{s} AS MATERIALIZED (SELECT e.dst AS node, sum(p.rank / deg.d) AS msum
+        FROM e JOIN f{p} f ON f.node = e.src
+        JOIN p{p} p ON p.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst),
+p{s} AS MATERIALIZED (SELECT p.node,
+        CASE WHEN m.node IS NOT NULL
+             THEN ({alpha} * m.msum + {1.0 - alpha}
+                   * (CASE WHEN p.node = {source} THEN 1.0 ELSE 0.0 END))
+                  / (SELECT c FROM c{p})
+             ELSE p.rank END AS rank
+        FROM p{p} p LEFT JOIN m{s} m ON m.node = p.node),
+f{s} AS MATERIALIZED (SELECT node FROM m{s}),
+c{s} AS MATERIALIZED (SELECT greatest(COALESCE(sum(p.rank), 0.0), 1e-300) AS c
+        FROM p{s} p JOIN m{s} m ON m.node = p.node)""")
+    body = ",".join(parts)
+    return (f"WITH {body} SELECT node, ROUND(rank, 10) AS ppr_rank "
+            f"FROM p{steps - 1} ORDER BY node")
 
 
 def sql_wcc(rounds: int = WCC_ROUNDS) -> str:
