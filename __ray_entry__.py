@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_k3": tpch.q_kcore,
         "clustering_coefficient": tpch.q_clustering,
         "ppr": tpch.q_ppr,
+        "closeness_k4": tpch.q_closeness,
+        "betweenness_k5": tpch.q_betweenness,
+        "rings_k4": tpch.q_rings,
     }
     q.update(ops_entries.queries())
     return q
@@ -89,6 +92,9 @@ def oracle_sql() -> dict[str, str]:
         "kcore_k3": tpch.sql_kcore(),
         "clustering_coefficient": tpch.sql_clustering(),
         "ppr": tpch.sql_ppr(),
+        "closeness_k4": tpch.sql_closeness(),
+        "betweenness_k5": tpch.sql_betweenness(),
+        "rings_k4": tpch.sql_rings(),
     }
     o.update(ops_entries.oracle_sql())
     return o

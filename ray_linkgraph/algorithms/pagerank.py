@@ -39,6 +39,7 @@ ALPHA_DEFAULT = 0.15  # page_rank.alpha, PageRank.java:39-41
 class PageRankProgram(VertexProgram):
     combiner = "sum"
     mode = "out"
+    grid = True   # dense every-vertex scatter -> 2D grid exchange
 
     def __init__(self, alpha: float = ALPHA_DEFAULT,
                  l1_threshold: float = 1e-6):

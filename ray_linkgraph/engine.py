@@ -83,6 +83,78 @@ def _runs(sorted_arr: np.ndarray) -> np.ndarray:
     return np.r_[0, np.flatnonzero(np.diff(sorted_arr)) + 1]
 
 
+class RaggedCol:
+    """Variable-length int64 sequence column (path/id-list messages —
+    the analog of the reference's IdList message payloads). Stored as
+    (flat values, offsets); supports the slicing/gather the router needs
+    and pickles as two numpy arrays (zero-copy plasma buffers)."""
+
+    __slots__ = ("flat", "offsets")
+
+    def __init__(self, flat: np.ndarray, offsets: np.ndarray):
+        self.flat = np.asarray(flat, dtype=np.int64)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+
+    @staticmethod
+    def from_lists(seqs) -> "RaggedCol":
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                           count=len(seqs))
+        off = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = (np.concatenate([np.asarray(s, dtype=np.int64)
+                                for s in seqs])
+                if off[-1] else np.zeros(0, dtype=np.int64))
+        return RaggedCol(flat, off)
+
+    def __len__(self):
+        return len(self.offsets) - 1
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            a = idx.start or 0
+            b = len(self) if idx.stop is None else idx.stop
+            lo, hi = self.offsets[a], self.offsets[b]
+            return RaggedCol(self.flat[lo:hi],
+                             self.offsets[a:b + 1] - lo)
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.flatnonzero(idx)
+        idx = idx.astype(np.int64)
+        lens = self.lengths()[idx]
+        off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        pos = (np.repeat(self.offsets[:-1][idx], lens)
+               + np.arange(off[-1], dtype=np.int64)
+               - np.repeat(off[:-1], lens))
+        return RaggedCol(self.flat[pos], off)
+
+    @staticmethod
+    def concat(cols: list) -> "RaggedCol":
+        if not cols:
+            return RaggedCol(np.zeros(0, dtype=np.int64),
+                             np.zeros(1, dtype=np.int64))
+        flats = [c.flat for c in cols]
+        offs = [cols[0].offsets]
+        base = cols[0].offsets[-1]
+        for c in cols[1:]:
+            offs.append(c.offsets[1:] + base)
+            base += c.offsets[-1]
+        return RaggedCol(np.concatenate(flats), np.concatenate(offs))
+
+
+def _is_ragged(col) -> bool:
+    # name-based (cloudpickle by-value registration breaks class identity)
+    return col.__class__.__name__ == "RaggedCol"
+
+
+def _col_concat(cols: list):
+    return (RaggedCol.concat(cols) if cols and _is_ragged(cols[0])
+            else np.concatenate(cols))
+
+
 def precombine(kind: str, dst_local: np.ndarray, payload: dict):
     """Combine duplicate dst keys before shipping. ``dst_local`` must be
     sorted ascending already (the router sorts by global dst)."""
@@ -101,6 +173,16 @@ def precombine(kind: str, dst_local: np.ndarray, payload: dict):
         change = np.r_[0, np.flatnonzero((np.diff(d) != 0) | (np.diff(l) != 0)) + 1]
         cnt = np.diff(np.r_[change, len(d)]).astype(np.int64)
         return (d[change], l[change], cnt)
+    if kind == "kv_min":
+        # min val per (dst, key); ties -> min sender (deterministic
+        # stand-in for the reference's processing-order tie, provably
+        # state-equivalent — see algorithms/closeness.py)
+        k, v, sn = payload["key"], payload["val"], payload["sender"]
+        order = np.lexsort((sn, v, k, dst_local))
+        d2, k2, v2, s2 = (dst_local[order], k[order], v[order], sn[order])
+        first = np.r_[0, np.flatnonzero((np.diff(d2) != 0) |
+                                        (np.diff(k2) != 0)) + 1]
+        return (d2[first], k2[first], v2[first], s2[first])
     if kind == "concat":
         return (dst_local,) + tuple(payload[k] for k in sorted(payload))
     raise ValueError(kind)
@@ -190,11 +272,31 @@ class Inbox:
                 self.win_dst = np.zeros(0, dtype=np.int64)
                 self.win_label = np.zeros(0, dtype=np.int64)
                 self._mask = np.zeros(size, dtype=bool)
+        elif kind == "kv_min":
+            if parts:
+                d = np.concatenate([p[0] for p in parts])
+                k = np.concatenate([p[1] for p in parts])
+                v = np.concatenate([p[2] for p in parts])
+                sn = np.concatenate([p[3] for p in parts])
+                self.n_msgs = len(d)
+                order = np.lexsort((sn, v, k, d))
+                d, k, v, sn = d[order], k[order], v[order], sn[order]
+                first = np.r_[0, np.flatnonzero((np.diff(d) != 0) |
+                                                (np.diff(k) != 0)) + 1]
+                self.dst, self.key = d[first], k[first]
+                self.val, self.sender = v[first], sn[first]
+            else:
+                z = np.zeros(0, dtype=np.int64)
+                self.dst, self.key = z, z.copy()
+                self.val = np.zeros(0, dtype=np.float64)
+                self.sender = z.copy()
+            self._mask = np.zeros(size, dtype=bool)
+            self._mask[self.dst] = True
         elif kind == "concat":
             self.dst = (np.concatenate([p[0] for p in parts]) if parts
                         else np.zeros(0, dtype=np.int64))
             ncols = (len(parts[0]) - 1) if parts else 0
-            self.cols = [np.concatenate([p[i + 1] for p in parts])
+            self.cols = [_col_concat([p[i + 1] for p in parts])
                          for i in range(ncols)]
             self.n_msgs = len(self.dst)
             self._mask = np.zeros(size, dtype=bool)
@@ -234,6 +336,9 @@ class VertexProgram:
 
     combiner = "sum"
     mode = "out"          # which adjacency the partition loads: "out" | "both"
+    grid = False          # True -> dense 2D (grid) exchange; requires the
+    #                       program to ALWAYS scatter via EdgeScatter with
+    #                       the sum combiner (PageRank-style dense loops)
 
     def master_init(self, graph: Graph) -> dict:
         return {}
@@ -308,8 +413,87 @@ class PartCtx:
         return self._csr[mode]
 
     def degrees(self, mode: str) -> np.ndarray:
-        indptr, _, _ = self.csr(mode)
-        return np.diff(indptr)
+        """Out-degrees of owned vertices. Uses the cached CSR when built;
+        otherwise loads ONLY the src column (grid-mode actors never
+        materialize their 1D adjacency)."""
+        key = ("deg", mode)
+        if key not in self._csr:
+            if mode in self._csr:
+                d = np.diff(self._csr[mode][0])
+            else:
+                spec = self.meta.get("synthetic")
+                if spec is not None:
+                    src, _ = synth_edges_for_range(
+                        spec["V"], spec["avg_deg"], spec["seed"],
+                        self.lo, self.hi)
+                else:
+                    path = os.path.join(self._dir, f"edges_{mode}",
+                                        f"part_{self.part_id:05d}.parquet")
+                    src = (pq.read_table(path, columns=["src_id"])
+                           .column("src_id").to_numpy()
+                           if os.path.exists(path)
+                           else np.zeros(0, dtype=np.int64))
+                d = np.bincount(src - self.lo, minlength=self.size)
+            self._csr[key] = d
+        return self._csr[key]
+
+    def grid_block(self, mode: str, R: int, C: int):
+        """Cell edge block for 2D (grid) message exchange.
+
+        The P partitions are arranged as an R x C grid (P = R*C); actor
+        p hosts cell (r, c) = (p // C, p % C). Rows group C consecutive
+        vertex chunks (the cell's SOURCE range), columns group R
+        consecutive chunks (its DESTINATION range), so every (src chunk,
+        dst chunk) pair lands on exactly one cell. Per superstep a cell
+        gathers its row's C value chunks, computes ONE dense partial for
+        its column range (bincount over its E/P edges) and splits it into
+        R chunk pieces — total shipped dense volume O(V*R) per superstep
+        instead of the 1D exchange's O(V*P), and each chunk owner merges
+        R pieces instead of P partials. This is the 2D partitioning the
+        round-1 BASELINE.md flagged as the dense-regime scale fix."""
+        key = ("grid", mode)
+        if key not in self._csr:
+            r, c = divmod(self.part_id, C)
+            ps = self.part_size
+            row_lo, row_hi = r * C * ps, min(self.V, (r + 1) * C * ps)
+            col_lo, col_hi = c * R * ps, min(self.V, (c + 1) * R * ps)
+            spec = self.meta.get("synthetic")
+            if spec is not None:
+                src, dst = synth_edges_for_range(
+                    spec["V"], spec["avg_deg"], spec["seed"],
+                    row_lo, row_hi)
+            else:
+                srcs, dsts = [], []
+                for p in range(r * C, (r + 1) * C):
+                    path = os.path.join(self._dir, f"edges_{mode}",
+                                        f"part_{p:05d}.parquet")
+                    if os.path.exists(path):
+                        t = pq.read_table(path, columns=["src_id", "dst_id"])
+                        srcs.append(t.column("src_id").to_numpy())
+                        dsts.append(t.column("dst_id").to_numpy())
+                src = (np.concatenate(srcs) if srcs
+                       else np.zeros(0, dtype=np.int64))
+                dst = (np.concatenate(dsts) if dsts
+                       else np.zeros(0, dtype=np.int64))
+            m = (dst >= col_lo) & (dst < col_hi)
+            loc_t = np.int32 if max(row_hi - row_lo,
+                                    col_hi - col_lo) < 2**31 else np.int64
+            src_local = (src[m] - row_lo).astype(loc_t)
+            dst_local = (dst[m] - col_lo).astype(loc_t)
+            # static dst-sorted runs: the per-superstep kernel is then a
+            # gather + add.reduceat + sparse write (measured ~20% faster
+            # than bincount-with-weights at bench shape)
+            order = np.argsort(dst_local, kind="stable")
+            src_by_dst = src_local[order]
+            d = dst_local[order]
+            runs = _runs(d)
+            ud = d[runs]
+            colsize = max(0, col_hi - col_lo)
+            bounds = [(min(colsize, j * ps), min(colsize, (j + 1) * ps))
+                      for j in range(R)]
+            self._csr[key] = (src_by_dst, runs, ud, colsize, bounds,
+                              row_lo, row_hi)
+        return self._csr[key]
 
     def vids(self) -> np.ndarray:
         return np.arange(self.lo, self.hi, dtype=np.int64)
@@ -381,14 +565,23 @@ class EdgeScatter:
 # ---------------------------------------------------------------------------
 
 class PartitionWorker:
-    def __init__(self, graph_dir: str, meta: dict, part_id: int, program):
+    def __init__(self, graph_dir: str, meta: dict, part_id: int, program,
+                 grid: tuple[int, int] | None = None):
         self.ctx = PartCtx(graph_dir, meta, part_id)
         self.program = program
         self.program.combiner  # touch to fail early on bad programs
-        self.ctx.csr(self.program.mode)  # build CSR once, up front
+        self.grid = grid
+        if grid is None:
+            self.ctx.csr(self.program.mode)  # build CSR once, up front
+        else:
+            self.R, self.C = grid
+            self.ctx.grid_block(self.program.mode, self.R, self.C)
+            self.ctx.degrees(self.program.mode)  # degrees only, no 1D CSR
         self.state = None
         self.P = meta["P"]
         self._local_dtype = np.int32 if meta["part_size"] < 2**31 else np.int64
+        self._ck_thread = None     # in-flight async checkpoint write
+        self._ck_done = None       # completed write info awaiting pickup
 
     # -- message routing ----------------------------------------------------
     def _route_edges(self, scatter: EdgeScatter):
@@ -486,21 +679,118 @@ class PartitionWorker:
         outs, n_out = self._route(dst, payload)
         return (*outs, {"part": self.ctx.part_id, "msgs_out": n_out})
 
+    # -- 2D grid exchange (dense EdgeScatter programs) ----------------------
+    def _scatter_values(self, dst) -> np.ndarray:
+        if dst.__class__.__name__ != "EdgeScatter":
+            raise TypeError("grid programs must scatter via EdgeScatter")
+        return np.ascontiguousarray(dst.values, dtype=np.float64)
+
+    def apply_phase(self, s: int, g: dict, ckpt_dir, *pieces):
+        """Chunk-owner half of a grid superstep: merge the R incoming
+        column pieces, run the program's compute, publish the new
+        per-vertex scatter values (read zero-copy by the row's cells)."""
+        t0 = time.monotonic()
+        n_in = 0
+        if s == 0:
+            self.state = self.program.init(self.ctx, g)
+            dst, _, aggs = self.program.compute0(self.ctx, self.state, g)
+        else:
+            inbox = Inbox("sum", self.ctx.size,
+                          [("D", p) for p in pieces])
+            n_in = inbox.n_msgs
+            dst, _, aggs = self.program.compute(
+                self.ctx, self.state, inbox, g, s)
+        vals = self._scatter_values(dst)
+        t1 = time.monotonic()
+        ck = None
+        if ckpt_dir is not None:
+            ck = self._write_checkpoint(ckpt_dir, s)
+        t2 = time.monotonic()
+        meta = {"aggs": aggs, "part": self.ctx.part_id, "msgs_in": n_in,
+                "msgs_out": 0, "wall_s": t2 - t0, "compute_s": t1 - t0,
+                "ckpt_s": t2 - t1, "route_s": 0.0, "checkpoint": ck}
+        return vals, meta
+
+    def edge_phase(self, s: int, *row_vals):
+        """Cell half of a grid superstep: gather the row's value chunks,
+        one bincount over the cell's edges into a dense column partial,
+        split into per-chunk pieces."""
+        t0 = time.monotonic()
+        src_by_dst, runs, ud, colsize, bounds, row_lo, row_hi = \
+            self.ctx.grid_block(self.program.mode, self.R, self.C)
+        vrow = (np.concatenate(row_vals) if len(row_vals) > 1
+                else row_vals[0])
+        partial = np.zeros(colsize, dtype=np.float64)
+        if len(runs):
+            partial[ud] = np.add.reduceat(vrow[src_by_dst], runs)
+        pieces = [partial[a:b] for a, b in bounds]
+        meta = {"part": self.ctx.part_id, "msgs_out": int(len(src_by_dst)),
+                "route_s": time.monotonic() - t0}
+        return (*pieces, meta)
+
+    def grid_rescatter(self, s: int, g: dict):
+        """Resume path: republish scatter values from restored state."""
+        dst, _ = self.program.rescatter(self.ctx, self.state, g, s)
+        return self._scatter_values(dst)
+
     # -- checkpoint / resume -------------------------------------------------
-    def _write_checkpoint(self, ckpt_dir: str, s: int) -> dict:
+    # Checkpoint writes are ASYNC with lag-1 commit (SURVEY §7e: "async
+    # write, manifest commit last"): the superstep snapshots its state
+    # (memcpy) and hands the parquet write + checksum to a background
+    # thread; the COMPLETED write info of step s-1 rides back in step s's
+    # meta, and the driver only commits a manifest once the write behind
+    # it has finished — so resume always sees durable files, at the cost
+    # of the crash window losing at most the one uncommitted step.
+    def _join_ck(self):
+        """Wait for the in-flight write; return completed info (or None)."""
+        if self._ck_thread is not None:
+            self._ck_thread.join()
+            self._ck_thread = None
+        done, self._ck_done = self._ck_done, None
+        return done
+
+    def _write_checkpoint(self, ckpt_dir: str, s: int) -> dict | None:
+        import threading
+
+        prev = self._join_ck()
         d = os.path.join(ckpt_dir, f"step_{s:05d}")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"part_{self.ctx.part_id:05d}.parquet")
-        t = pa.table({k: pa.array(v) for k, v in self.state.items()})
-        pq.write_table(t, path, compression="none")
-        return {"file": path, "rows": self.ctx.size,
-                "checksum": _state_checksum(self.state)}
+        snap = {k: np.array(v, copy=True) for k, v in self.state.items()}
+
+        def write():
+            # state arrays may have several distinct lengths (map/path
+            # valued programs flatten ragged per-vertex state): one
+            # parquet per length group, extra groups suffixed _gN
+            groups: dict[int, dict] = {}
+            for k, v in snap.items():
+                groups.setdefault(len(v), {})[k] = v
+            for i, length in enumerate(sorted(groups)):
+                p = path if i == 0 else path.replace(
+                    ".parquet", f"_g{i}.parquet")
+                t = pa.table({k: pa.array(v)
+                              for k, v in groups[length].items()})
+                pq.write_table(t, p, compression="none")
+            self._ck_done = {"step": s, "file": path, "rows": self.ctx.size,
+                             "checksum": _state_checksum(snap)}
+
+        self._ck_thread = threading.Thread(target=write, daemon=True)
+        self._ck_thread.start()
+        return prev
+
+    def flush_checkpoint(self) -> dict | None:
+        """Finish any pending write and return its info (run end)."""
+        return self._join_ck()
 
     def load_checkpoint(self, ckpt_dir: str, s: int):
-        path = os.path.join(ckpt_dir, f"step_{s:05d}",
-                            f"part_{self.ctx.part_id:05d}.parquet")
-        t = pq.read_table(path)
-        self.state = {c: t.column(c).to_numpy().copy() for c in t.column_names}
+        import glob
+        base = os.path.join(ckpt_dir, f"step_{s:05d}",
+                            f"part_{self.ctx.part_id:05d}")
+        self.state = {}
+        for path in sorted(glob.glob(base + "*.parquet")):
+            t = pq.read_table(path)
+            self.state.update({c: t.column(c).to_numpy().copy()
+                               for c in t.column_names})
         return True
 
     def output_table(self):
@@ -538,41 +828,84 @@ class BSPEngine:
         self.program = program
         self.ckpt_dir = checkpoint_dir
         self.ckpt_every = max(0, checkpoint_every)
+        self._pending = {}   # ckpt step -> manifest data awaiting durability
         P = graph.P
+        self.grid = None
+        if getattr(program, "grid", False):
+            # R = smallest divisor >= sqrt(P): keeps the row gather
+            # window (C*V/P <= V/sqrt(P)) cache-small while piece volume
+            # stays O(V*R) ~ O(V*sqrt(P)). Measured at P=8/V=4M/deg=30:
+            # R=4 0.59 s/step vs R=2 0.86 vs R=8 (1D-dense degenerate)
+            # 1.58.
+            cands = [r for r in range(2, P + 1)
+                     if P % r == 0 and r * r >= P]
+            R = min(cands) if cands else 1
+            R = int(os.environ.get("RLG_GRID_R", R) or R)
+            if 2 <= R < P and P % R == 0:
+                self.grid = (R, P // R)
         total_cpus = ray.cluster_resources().get("CPU", P) or P
         cpu_per_actor = min(1.0, max(0.05, (total_cpus - 1) / max(P, 1)))
         Worker = ray.remote(PartitionWorker)
         self.actors = [
             Worker.options(num_cpus=cpu_per_actor).remote(
-                graph.dir, graph.meta, p, program)
+                graph.dir, graph.meta, p, program, self.grid)
             for p in range(P)
         ]
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
     # -- manifest helpers ---------------------------------------------------
-    def _commit_manifest(self, s, g_next, aggs, metas, wall_s, done):
-        if not self.ckpt_dir:
-            return
-        man = {
-            "step": s,
+    # Lag-1 commit protocol: checkpoint writes are async inside the
+    # actors; the manifest for step s is only written once every actor
+    # reports step s's parquet as durably written (which rides back in
+    # the NEXT superstep's meta, or in the final flush). A committed
+    # manifest therefore always points at complete files.
+    def _stash_pending(self, s, g_next, aggs, metas, wall_s, done):
+        self._pending[s] = {
             "globals_next": _jsonable(g_next),
             "aggs": _jsonable(aggs),
             "done": done,
             "wall_s": wall_s,
-            "parts": {m["part"]: {"msgs_in": m["msgs_in"],
-                                  "msgs_out": m["msgs_out"],
-                                  **(m["checkpoint"] or {})}
-                      for m in metas},
+            "msgs": {m["part"]: {"msgs_in": m["msgs_in"],
+                                 "msgs_out": m["msgs_out"]} for m in metas},
+        }
+
+    def _commit_completed(self, ck_infos):
+        """ck_infos: per-actor completed-write dicts (or None)."""
+        infos = [i for i in ck_infos if i]
+        if len(infos) != self.graph.P:
+            return
+        s = infos[0]["step"]
+        pend = self._pending.pop(s, None)
+        if pend is None:
+            return
+        man = {
+            "step": s,
+            "globals_next": pend["globals_next"],
+            "aggs": pend["aggs"],
+            "done": pend["done"],
+            "wall_s": pend["wall_s"],
+            "parts": {self._ck_part(i): {**pend["msgs"].get(
+                          self._ck_part(i), {}),
+                      "file": i["file"], "rows": i["rows"],
+                      "checksum": i["checksum"]}
+                      for i in infos},
         }
         tmp = os.path.join(self.ckpt_dir, f"manifest_{s:05d}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(man, f)
         os.replace(tmp, os.path.join(self.ckpt_dir, f"manifest_{s:05d}.json"))
         with open(os.path.join(self.ckpt_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps({"step": s, "wall_s": wall_s,
-                                "msgs": sum(m["msgs_out"] for m in metas),
-                                "aggs": _jsonable(aggs)}) + "\n")
+            f.write(json.dumps({"step": s, "wall_s": pend["wall_s"],
+                                "msgs": sum(v["msgs_out"] for v in
+                                            pend["msgs"].values()),
+                                "aggs": pend["aggs"]}) + "\n")
+
+    @staticmethod
+    def _ck_part(info):
+        """part id recovered from the checkpoint file name."""
+        base = os.path.basename(info["file"])
+        return int(base.split("_")[1].split(".")[0])
 
     def latest_checkpoint(self) -> tuple[int, dict] | None:
         if not self.ckpt_dir or not os.path.isdir(self.ckpt_dir):
@@ -587,8 +920,20 @@ class BSPEngine:
                     best = man
         return (best["step"], best) if best else None
 
+    def _truncate_metrics(self, s_ck: int):
+        """Drop metrics rows past the resume point (replayed steps would
+        otherwise append duplicates, ADVICE.md)."""
+        mpath = os.path.join(self.ckpt_dir, "metrics.jsonl")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                keep = [ln for ln in f if json.loads(ln)["step"] <= s_ck]
+            with open(mpath, "w") as f:
+                f.writelines(keep)
+
     # -- main loop ----------------------------------------------------------
     def run(self, max_supersteps: int = 10, resume: bool = False) -> BSPResult:
+        if self.grid is not None:
+            return self._run_grid(max_supersteps, resume)
         P = self.graph.P
         history = []
         s0, inboxes, g = 0, None, self.program.master_init(self.graph)
@@ -609,6 +954,7 @@ class BSPEngine:
                 ray.get([o[P] for o in outs])  # barrier on rescatter
                 inboxes = [[msg_refs[p][q] for p in range(P)] for q in range(P)]
                 s0 = s_ck + 1
+                self._truncate_metrics(s_ck)
 
         s = s0
         while s < max_supersteps:
@@ -637,19 +983,105 @@ class BSPEngine:
                 "actor_wall_sum_s": sum(m["wall_s"] for m in metas),
             })
             if do_ckpt:
-                self._commit_manifest(s, g, aggs, metas, wall, done)
+                self._stash_pending(s, g, aggs, metas, wall, done)
+                self._commit_completed([m.get("checkpoint") for m in metas])
             s += 1
             if done:
                 break
             inboxes = [[msg_refs[p][q] for p in range(P)] for q in range(P)]
         return self._finish(s, aggs, history)
 
+    def _run_grid(self, max_supersteps: int, resume: bool) -> BSPResult:
+        """Two-phase superstep loop for dense EdgeScatter programs:
+        apply (chunk owners: merge R pieces -> compute -> publish values)
+        then edge (cells: row gather -> column bincount -> R pieces).
+        The edge phase is launched as soon as the values refs exist, so
+        it overlaps the driver's meta collection and master step."""
+        P, (R, C) = self.graph.P, self.grid
+        history = []
+        s0, g = 0, self.program.master_init(self.graph)
+        aggs, pieces_for = {}, None
+        if resume:
+            found = self.latest_checkpoint()
+            if found:
+                s_ck, man = found
+                ray.get([a.load_checkpoint.remote(self.ckpt_dir, s_ck)
+                         for a in self.actors])
+                g = man["globals_next"]
+                aggs = man["aggs"]
+                if man["done"]:
+                    return self._finish(s_ck + 1, aggs, history)
+                vrefs = [self.actors[p].grid_rescatter.remote(s_ck, g)
+                         for p in range(P)]
+                pieces_for = self._grid_edge_round(s_ck, vrefs, R, C)[0]
+                s0 = s_ck + 1
+                self._truncate_metrics(s_ck)
+
+        s = s0
+        while s < max_supersteps:
+            t0 = time.monotonic()
+            do_ckpt = (self.ckpt_dir if self.ckpt_every and
+                       (s % self.ckpt_every == 0) else None)
+            outs = []
+            for p in range(P):
+                args = (s, g, do_ckpt) + \
+                    (tuple(pieces_for[p]) if s > 0 else ())
+                outs.append(self.actors[p].apply_phase
+                            .options(num_returns=2).remote(*args))
+            vrefs = [o[0] for o in outs]
+            next_pieces, emeta_refs = self._grid_edge_round(s, vrefs, R, C)
+            metas = ray.get([o[1] for o in outs])
+            emetas = ray.get(emeta_refs)   # barrier: pieces materialized
+            wall = time.monotonic() - t0
+            aggs = _reduce_aggs([m["aggs"] for m in metas])
+            msg_total = sum(m["msgs_out"] for m in emetas)
+            cont, g = self.program.master(s, aggs, msg_total, self.graph, g)
+            done = (not cont) or msg_total == 0 or s == max_supersteps - 1
+            history.append({
+                "step": s, "wall_s": wall, "msgs": msg_total,
+                "aggs": dict(aggs),
+                "actor_compute_s": max(m["compute_s"] for m in metas),
+                "actor_ckpt_s": max(m["ckpt_s"] for m in metas),
+                "actor_route_s": max(m["route_s"] for m in emetas),
+                "actor_wall_max_s": max(m["wall_s"] for m in metas),
+                "actor_wall_sum_s": sum(m["wall_s"] for m in metas),
+            })
+            if do_ckpt:
+                self._stash_pending(s, g, aggs, metas, wall, done)
+                self._commit_completed([m.get("checkpoint") for m in metas])
+            s += 1
+            if done:
+                break
+            pieces_for = next_pieces
+        return self._finish(s, aggs, history)
+
+    def _grid_edge_round(self, s, vrefs, R, C):
+        """Launch all cells' edge phases; route piece refs to owners.
+        pieces_for[q][r] = piece from cell (r, col(q)) for chunk q."""
+        P = self.graph.P
+        eouts = []
+        for p in range(P):
+            r_p = p // C
+            row_chunks = range(r_p * C, (r_p + 1) * C)
+            eouts.append(self.actors[p].edge_phase
+                         .options(num_returns=R + 1)
+                         .remote(s, *[vrefs[q] for q in row_chunks]))
+        pieces_for = [[eouts[r * C + q // R][q % R] for r in range(R)]
+                      for q in range(P)]
+        emeta_refs = [e[R] for e in eouts]
+        return pieces_for, emeta_refs
+
     def _finish(self, supersteps, aggs, history) -> BSPResult:
-        """Collect per-partition output tables, then release the actor pool
+        """Collect per-partition output tables, flush in-flight checkpoint
+        writes (committing their manifests), then release the actor pool
         (its CPUs) — resume works from the on-disk checkpoints, not from
         live actors."""
         refs = [a.output_table.remote() for a in self.actors]
         ray.wait(refs, num_returns=len(refs))  # ensure computed before kill
+        if self.ckpt_dir and self._pending:
+            infos = ray.get([a.flush_checkpoint.remote()
+                             for a in self.actors])
+            self._commit_completed(infos)
         self.close()
         return BSPResult(refs, supersteps, aggs, history)
 

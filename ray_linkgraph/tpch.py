@@ -36,7 +36,9 @@ import ray.data
 
 from .graph import Graph, build_graph
 from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
-                         triangle_count, clustering_coefficient, ppr)
+                         triangle_count, clustering_coefficient, ppr,
+                         closeness_centrality, betweenness_centrality,
+                         rings_detection)
 
 MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
 CACHE_ROOT = "/tmp/ray_linkgraph_cache"
@@ -48,6 +50,9 @@ LPA_STEPS = 10          # supersteps (9 vote rounds), reference default
 SSSP_STEPS = 10
 KCORE_ROUNDS = 25
 PPR_SOURCE = 1          # ppr source = original node id 1
+CLOSENESS_STEPS = 4     # paths of <= 3 edges
+BETWEENNESS_STEPS = 5   # votes from paths of <= 3 edges
+RINGS_STEPS = 4         # rings of length <= 3
 
 
 def _ncust(sf_dir: str) -> int:
@@ -189,6 +194,26 @@ def q_ppr(sf_dir: str) -> pa.Table:
     res = ppr(g, src_vid, l1_threshold=-1.0,
               max_supersteps=PR_STEPS).to_arrow()
     return _with_nodes(g, res, {"rank": ("ppr_rank", 10)})
+
+
+def q_closeness(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = closeness_centrality(g, max_supersteps=CLOSENESS_STEPS).to_arrow()
+    return _with_nodes(g, res, {"closeness": ("closeness", 10),
+                                "reachable": ("reachable", None)})
+
+
+def q_betweenness(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = betweenness_centrality(
+        g, max_supersteps=BETWEENNESS_STEPS).to_arrow()
+    return _with_nodes(g, res, {"betweenness": ("betweenness", 6)})
+
+
+def q_rings(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    res = rings_detection(g, max_supersteps=RINGS_STEPS).to_arrow()
+    return _with_nodes(g, res, {"ring_count": ("ring_count", None)})
 
 
 def q_kcore(sf_dir: str) -> pa.Table:
@@ -375,6 +400,99 @@ FROM v LEFT JOIN alive{rounds} al ON al.node = v.node
 LEFT JOIN (SELECT ub.a AS node, count(*) AS cnt FROM ub
            JOIN alive{rounds} x ON x.node = ub.b GROUP BY ub.a) c
 ON c.node = v.node ORDER BY v.node"""
+
+
+def sql_closeness(steps: int = CLOSENESS_STEPS) -> str:
+    """Unrolled min-plus relaxation: after s supersteps the vertex map
+    holds min path weight over <= s-edge paths (closeness.py docstring
+    has the equivalence argument for the reference's forward-on-improve
+    scheme)."""
+    parts = [SQL_BASE.rstrip()]
+    parts.append("""
+ew AS MATERIALIZED (SELECT src, dst,
+              CAST((src * 7 + dst * 13) % 10 + 1 AS DOUBLE) AS w FROM e),
+cd1 AS MATERIALIZED (SELECT src AS start, dst AS node, w AS dist FROM ew)""")
+    for k in range(2, steps):
+        parts.append(f"""
+cd{k} AS MATERIALIZED (
+  SELECT start, node, min(dist) AS dist FROM (
+    SELECT start, node, dist FROM cd{k - 1}
+    UNION ALL
+    SELECT p.start, ew.dst AS node, p.dist + ew.w AS dist
+    FROM cd{k - 1} p JOIN ew ON ew.src = p.node
+    WHERE ew.dst != p.start
+  ) GROUP BY start, node)""")
+    last = f"cd{max(1, steps - 1)}"
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT v.node, ROUND(COALESCE(c.clo, 0.0), 10) AS closeness,
+       COALESCE(c.n, 0) AS reachable
+FROM v LEFT JOIN (SELECT node, sum(1.0 / dist) AS clo,
+                         count(*) AS n
+                  FROM {last} GROUP BY node) c ON c.node = v.node
+ORDER BY v.node"""
+
+
+def sql_betweenness() -> str:
+    """Fixed-K (=5 supersteps) replica of the reference's vote scheme:
+    votes from 2-edge and 3-edge shortest paths (see betweenness.py for
+    the superstep alignment)."""
+    return f"""WITH {SQL_BASE},
+bd1 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS t FROM e),
+bd2 AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS t FROM bd1 p JOIN e ON e.src = p.t
+  WHERE e.dst != p.s
+    AND NOT EXISTS (SELECT 1 FROM bd1 x WHERE x.s = p.s AND x.t = e.dst)),
+bd3 AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS t FROM bd2 p JOIN e ON e.src = p.t
+  WHERE e.dst != p.s
+    AND NOT EXISTS (SELECT 1 FROM bd1 x WHERE x.s = p.s AND x.t = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM bd2 x WHERE x.s = p.s AND x.t = e.dst)),
+q2 AS MATERIALIZED (
+  SELECT p.src AS s, p.dst AS m1, e.dst AS t
+  FROM e p JOIN e ON e.src = p.dst
+  JOIN bd2 d ON d.s = p.src AND d.t = e.dst
+  WHERE e.dst != p.src AND e.dst != p.dst),
+q3 AS MATERIALIZED (
+  SELECT q2.s, q2.m1, q2.t AS m2, e.dst AS t
+  FROM q2 JOIN e ON e.src = q2.t
+  JOIN bd3 d ON d.s = q2.s AND d.t = e.dst
+  WHERE e.dst != q2.s AND e.dst != q2.m1 AND e.dst != q2.t),
+tots AS MATERIALIZED (
+  SELECT s, t, 2 AS lvl, count(*) AS tot FROM q2 GROUP BY s, t
+  UNION ALL SELECT s, t, 3, count(*) FROM q3 GROUP BY s, t),
+votes AS MATERIALIZED (
+  SELECT mid, sum(CAST(c AS DOUBLE) / tot) AS b FROM (
+    SELECT q2.s, q2.t, 2 AS lvl, m1 AS mid, count(*) AS c
+    FROM q2 GROUP BY q2.s, q2.t, m1
+    UNION ALL
+    SELECT s, t, 3, mid, count(*) FROM (
+      SELECT s, t, m1 AS mid FROM q3
+      UNION ALL SELECT s, t, m2 FROM q3) GROUP BY s, t, mid
+  ) cm JOIN tots ON tots.s = cm.s AND tots.t = cm.t AND tots.lvl = cm.lvl
+  GROUP BY mid)
+SELECT v.node, ROUND(COALESCE(votes.b, 0.0), 6) AS betweenness
+FROM v LEFT JOIN votes ON votes.mid = v.node ORDER BY v.node"""
+
+
+def sql_rings() -> str:
+    """Fixed-K (=4 supersteps) replica: directed rings of length 2 and 3
+    recorded at their minimum vertex (rings.py docstring)."""
+    return f"""WITH {SQL_BASE},
+rr1 AS MATERIALIZED (SELECT src AS v0, dst AS cur FROM e WHERE dst >= src),
+rr2 AS MATERIALIZED (
+  SELECT p.v0, p.cur AS m1, e.dst AS cur
+  FROM rr1 p JOIN e ON e.src = p.cur WHERE e.dst >= p.v0),
+rr3 AS MATERIALIZED (
+  SELECT p.v0, p.m1, p.cur AS m2, e.dst AS cur
+  FROM rr2 p JOIN e ON e.src = p.cur
+  WHERE p.cur != p.v0 AND p.cur != p.m1 AND e.dst >= p.v0),
+ringc AS MATERIALIZED (
+  SELECT v0 AS node, count(*) AS c FROM (
+    SELECT v0 FROM rr2 WHERE cur = v0
+    UNION ALL SELECT v0 FROM rr3 WHERE cur = v0) GROUP BY v0)
+SELECT v.node, COALESCE(ringc.c, 0) AS ring_count
+FROM v LEFT JOIN ringc ON ringc.node = v.node ORDER BY v.node"""
 
 
 def sql_clustering() -> str:

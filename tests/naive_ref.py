@@ -133,3 +133,105 @@ def naive_kcore(V, undirected_adj, k=3):
                     core[u] = 0
                     doomed.append(u)
     return core
+
+
+def naive_closeness(V, out_adj_w, max_steps=10):
+    """ClosenessCentrality.java:82-173 message semantics, simplified to
+    min-per-(dst,start) delivery (state-equivalent — the reference's
+    per-message processing only ever adds provably-non-improving extra
+    messages). out_adj_w: per vertex list of (target, weight)."""
+    maps = [dict() for _ in range(V)]
+    msgs = []
+    for v in range(V):
+        for t, w in out_adj_w[v]:
+            if t != v:
+                msgs.append((t, v, float(w)))
+    for _ in range(1, max_steps):
+        if not msgs:
+            break
+        best = {}
+        for d, st, dist in msgs:
+            if d == st:
+                continue
+            k = (d, st)
+            if k not in best or dist < best[k]:
+                best[k] = dist
+        msgs = []
+        for (d, st), dist in best.items():
+            cur = maps[d].get(st)
+            if cur is None or dist < cur:
+                maps[d][st] = dist
+                for t, w in out_adj_w[d]:
+                    if t != st:
+                        msgs.append((t, st, dist + float(w)))
+    clo = [sum(1.0 / x for x in m.values()) for m in maps]
+    reach = [len(m) for m in maps]
+    return clo, reach
+
+
+def naive_betweenness(V, out_adj, max_steps=6, store_perf=None):
+    """BetweennessCentrality.java:97-219 exactly (sample rate 1)."""
+    btw = [0.0] * V
+    arrived = [{v} for v in range(V)]
+    msgs = []
+    for v in range(V):
+        for t in out_adj[v]:
+            msgs.append((t, 0.0, (v,)))
+    for _ in range(1, max_steps):
+        if not msgs:
+            break
+        byd = {}
+        for d, vote, seq in msgs:
+            byd.setdefault(d, []).append((vote, seq))
+        nxt = []
+        for d, items in byd.items():
+            seqtable = {}
+            arriving = set()
+            for vote, seq in items:
+                btw[d] += vote
+                if not seq:
+                    continue
+                src = seq[0]
+                if src in arrived[d]:
+                    continue
+                if store_perf is not None and len(arrived[d]) >= store_perf:
+                    continue
+                arriving.add(src)
+                tc = seqtable.setdefault(src, [0, {}])
+                tc[0] += 1
+                for m in seq[1:]:
+                    tc[1][m] = tc[1].get(m, 0) + 1
+                newseq = seq + (d,)
+                for t in out_adj[d]:
+                    if t not in newseq:
+                        nxt.append((t, 0.0, newseq))
+            arrived[d] |= arriving
+            for src, (total, idc) in seqtable.items():
+                for m, c in idc.items():
+                    nxt.append((m, c / total, ()))
+        msgs = nxt
+    return btw
+
+
+def naive_rings(V, out_adj, max_steps=6):
+    """RingsDetection.java:49-119 exactly."""
+    rings = [[] for _ in range(V)]
+    msgs = []
+    for v in range(V):
+        for t in out_adj[v]:
+            if t >= v:
+                msgs.append((t, (v,)))
+    for _ in range(1, max_steps):
+        if not msgs:
+            break
+        nxt = []
+        for d, seq in msgs:
+            if d == seq[0]:
+                if all(d <= x for x in seq):
+                    rings[d].append(seq + (d,))
+            elif d not in seq:
+                for t in out_adj[d]:
+                    if t >= seq[0]:
+                        nxt.append((t, seq + (d,)))
+        msgs = nxt
+    return rings

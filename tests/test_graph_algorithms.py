@@ -265,3 +265,52 @@ def test_hub_skew_path(work_dir):
     tri = triangle_count(g).to_pandas().sort_values("v_id")
     exp = naive_ref.naive_triangles(g.V, adj_both(g.V, E))
     assert (tri["triangles"].to_numpy() == exp).all()
+
+
+def test_closeness_vs_reference_semantics(built):
+    from ray_linkgraph.algorithms import closeness_centrality
+    g, _, _, edges = built
+    res = closeness_centrality(g, max_supersteps=5).to_arrow() \
+        .to_pandas().sort_values("v_id")
+    adj_w = [[(d, 1.0) for d in nbrs]
+             for nbrs in adj_out(g.V, edges)]
+    clo, reach = naive_ref.naive_closeness(g.V, adj_w, max_steps=5)
+    assert np.allclose(res["closeness"].to_numpy(), clo, atol=1e-12)
+    assert (res["reachable"].to_numpy() == reach).all()
+    assert max(reach) > 1                    # propagation happened
+
+
+def test_betweenness_vs_reference_semantics(built):
+    from ray_linkgraph.algorithms import betweenness_centrality
+    g, _, _, edges = built
+    res = betweenness_centrality(g, max_supersteps=5).to_arrow() \
+        .to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_betweenness(g.V, adj_out(g.V, edges),
+                                      max_steps=5)
+    assert np.allclose(res["betweenness"].to_numpy(), exp, atol=1e-9)
+    assert max(exp) > 0
+
+
+def test_betweenness_store_perf_cap(built):
+    from ray_linkgraph.algorithms import betweenness_centrality
+    g, _, _, edges = built
+    res = betweenness_centrality(g, max_supersteps=4, store_perf=3) \
+        .to_arrow().to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_betweenness(g.V, adj_out(g.V, edges),
+                                      max_steps=4, store_perf=3)
+    assert np.allclose(res["betweenness"].to_numpy(), exp, atol=1e-9)
+
+
+def test_rings_vs_reference_semantics(built):
+    from ray_linkgraph.algorithms import rings_detection
+    g, _, _, edges = built
+    res = rings_detection(g, max_supersteps=5).to_arrow() \
+        .to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_rings(g.V, adj_out(g.V, edges), max_steps=5)
+    assert (res["ring_count"].to_numpy() ==
+            np.array([len(r) for r in exp])).all()
+    # ring sequences themselves match (deterministic sorted encoding)
+    exp_strs = [";".join(sorted(("-".join(map(str, t)) for t in r),
+                                key=lambda x: (len(x), x))) for r in exp]
+    assert res["rings"].tolist() == exp_strs
+    assert sum(len(r) for r in exp) > 0      # graph has rings
