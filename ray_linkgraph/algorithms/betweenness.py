@@ -153,6 +153,18 @@ class BetweennessProgram(VertexProgram):
         if len(dst):
             state["betweenness"] += np.bincount(dst, weights=votes,
                                                 minlength=ctx.size)
+        remaining = getattr(ctx, "steps_remaining", 10**9)
+        if remaining == 0:
+            # final superstep: nothing sent now can be observed — votes
+            # above are the only output-visible effect
+            e = np.zeros(0, dtype=np.int64)
+            empty_seq = RaggedCol(e, np.zeros(1, dtype=np.int64))
+            state["p_dst"], state["p_flat"] = e, empty_seq.flat
+            state["p_off"] = empty_seq.offsets
+            state["v_dst"] = e.copy()
+            state["v_val"] = np.zeros(0, dtype=np.float64)
+            return e, {"seq": empty_seq,
+                       "vote": np.zeros(0, dtype=np.float64)}, {}
         # 2) path messages
         lens = seqs.lengths()
         is_path = lens > 0
@@ -211,11 +223,13 @@ class BetweennessProgram(VertexProgram):
             asrc = np.concatenate([state["a_src"], ns])
             o3 = np.argsort(av * ctx.V + asrc, kind="stable")
             state["a_vert"], state["a_src"] = av[o3], asrc[o3]
-        # 5) forwards
+        # 5) forwards — pointless when the step they'd arrive at is the
+        # final one (paths only matter via votes one step later)
         fwd_dst, fwd_seq = self._expand_forward(ctx, v, pseq, s) \
-            if len(v) else (np.zeros(0, dtype=np.int64),
-                            RaggedCol(np.zeros(0, dtype=np.int64),
-                                      np.zeros(1, dtype=np.int64)))
+            if len(v) and remaining > 1 else \
+            (np.zeros(0, dtype=np.int64),
+             RaggedCol(np.zeros(0, dtype=np.int64),
+                       np.zeros(1, dtype=np.int64)))
         out_dst = np.concatenate([fwd_dst, votes_dst])
         out_seq = RaggedCol.concat([
             fwd_seq, RaggedCol(np.zeros(0, dtype=np.int64),

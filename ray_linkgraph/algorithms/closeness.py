@@ -138,7 +138,11 @@ class ClosenessProgram(VertexProgram):
             state["m_dist"] = np.ascontiguousarray(alld[first])
         state["f_vert"], state["f_start"] = v, start
         state["f_dist"], state["f_sender"] = dist, sender
-        dst, payload = self._forward(ctx, v, start, dist, sender, s)
+        if getattr(ctx, "steps_remaining", 10**9) == 0:
+            dst = None        # final superstep: map update above is the
+            payload = None    # only observable effect
+        else:
+            dst, payload = self._forward(ctx, v, start, dist, sender, s)
         if dst is None:
             dst, payload = np.zeros(0, dtype=np.int64), \
                 {"key": np.zeros(0, dtype=np.int64),

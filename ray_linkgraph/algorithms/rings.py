@@ -93,8 +93,12 @@ class RingsProgram(VertexProgram):
                 RaggedCol(state["r_flat"], state["r_off"]),
                 RaggedCol(flat, noff)])
             state["r_flat"], state["r_off"] = rings.flat, rings.offsets
-        # forwards: not closed, not already on path
-        fi = np.flatnonzero(~closed & ~contains)
+        # forwards: not closed, not already on path (skipped on the final
+        # superstep — nothing can receive them)
+        if getattr(ctx, "steps_remaining", 10**9) == 0:
+            fi = np.zeros(0, dtype=np.int64)
+        else:
+            fi = np.flatnonzero(~closed & ~contains)
         fwd_dst = np.zeros(0, dtype=np.int64)
         fwd_seq = empty
         if len(fi):

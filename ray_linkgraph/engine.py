@@ -649,8 +649,14 @@ class PartitionWorker:
         return outs, int(len(d))
 
     # -- superstep ----------------------------------------------------------
-    def superstep(self, s: int, g: dict, ckpt_dir, *inbox_parts):
+    def superstep(self, s: int, g: dict, ckpt_dir, steps_remaining,
+                  *inbox_parts):
         t0 = time.monotonic()
+        # fixed-horizon hint: how many supersteps can still run after
+        # this one. Programs MAY skip generating messages that provably
+        # cannot influence output within the horizon (e.g. path forwards
+        # whose votes would arrive after the last step).
+        self.ctx.steps_remaining = steps_remaining
         n_in = 0
         if s == 0:
             self.state = self.program.init(self.ctx, g)
@@ -674,7 +680,8 @@ class PartitionWorker:
                 "checkpoint": ck}
         return (*outs, meta)
 
-    def rescatter(self, s: int, g: dict):
+    def rescatter(self, s: int, g: dict, steps_remaining: int = 10**9):
+        self.ctx.steps_remaining = steps_remaining
         dst, payload = self.program.rescatter(self.ctx, self.state, g, s)
         outs, n_out = self._route(dst, payload)
         return (*outs, {"part": self.ctx.part_id, "msgs_out": n_out})
@@ -685,11 +692,13 @@ class PartitionWorker:
             raise TypeError("grid programs must scatter via EdgeScatter")
         return np.ascontiguousarray(dst.values, dtype=np.float64)
 
-    def apply_phase(self, s: int, g: dict, ckpt_dir, *pieces):
+    def apply_phase(self, s: int, g: dict, ckpt_dir, steps_remaining,
+                    *pieces):
         """Chunk-owner half of a grid superstep: merge the R incoming
         column pieces, run the program's compute, publish the new
         per-vertex scatter values (read zero-copy by the row's cells)."""
         t0 = time.monotonic()
+        self.ctx.steps_remaining = steps_remaining
         n_in = 0
         if s == 0:
             self.state = self.program.init(self.ctx, g)
@@ -949,7 +958,8 @@ class BSPEngine:
                 if man["done"]:
                     return self._finish(s_ck + 1, aggs, history)
                 outs = [self.actors[p].rescatter.options(num_returns=P + 1)
-                        .remote(s_ck, g) for p in range(P)]
+                        .remote(s_ck, g, max_supersteps - 1 - s_ck)
+                        for p in range(P)]
                 msg_refs = [o[:P] for o in outs]
                 ray.get([o[P] for o in outs])  # barrier on rescatter
                 inboxes = [[msg_refs[p][q] for p in range(P)] for q in range(P)]
@@ -963,7 +973,8 @@ class BSPEngine:
                        (s % self.ckpt_every == 0) else None)
             outs = []
             for p in range(P):
-                args = (s, g, do_ckpt) + (tuple(inboxes[p]) if s > 0 else ())
+                args = (s, g, do_ckpt, max_supersteps - 1 - s) + \
+                    (tuple(inboxes[p]) if s > 0 else ())
                 outs.append(self.actors[p].superstep
                             .options(num_returns=P + 1).remote(*args))
             msg_refs = [o[:P] for o in outs]
@@ -1024,7 +1035,7 @@ class BSPEngine:
                        (s % self.ckpt_every == 0) else None)
             outs = []
             for p in range(P):
-                args = (s, g, do_ckpt) + \
+                args = (s, g, do_ckpt, max_supersteps - 1 - s) + \
                     (tuple(pieces_for[p]) if s > 0 else ())
                 outs.append(self.actors[p].apply_phase
                             .options(num_returns=2).remote(*args))

@@ -199,7 +199,7 @@ def q_ppr(sf_dir: str) -> pa.Table:
 def q_closeness(sf_dir: str) -> pa.Table:
     g = gate_graph(sf_dir)
     res = closeness_centrality(g, max_supersteps=CLOSENESS_STEPS).to_arrow()
-    return _with_nodes(g, res, {"closeness": ("closeness", 10),
+    return _with_nodes(g, res, {"closeness": ("closeness", 6),
                                 "reachable": ("reachable", None)})
 
 
@@ -425,7 +425,7 @@ cd{k} AS MATERIALIZED (
     last = f"cd{max(1, steps - 1)}"
     body = ",".join(parts)
     return f"""WITH {body}
-SELECT v.node, ROUND(COALESCE(c.clo, 0.0), 10) AS closeness,
+SELECT v.node, ROUND(COALESCE(c.clo, 0.0), 6) AS closeness,
        COALESCE(c.n, 0) AS reachable
 FROM v LEFT JOIN (SELECT node, sum(1.0 / dist) AS clo,
                          count(*) AS n
