@@ -67,7 +67,11 @@ def derive_edges_ds(sf_dir: str):
     def derive(batch: pa.Table) -> pa.Table:
         ok = batch.column("o_orderkey").to_numpy()
         ck = batch.column("o_custkey").to_numpy()
-        dst = (ok * MULT) % nc
+        # reduce mod nc BEFORE multiplying: keeps the product < nc^2
+        # (int64-safe for any scale factor; the naive ok*MULT wraps for
+        # o_orderkey > 2^63/MULT while the SQL side would overflow-error
+        # — ADVICE.md). Same value mathematically.
+        dst = ((ok % nc) * (MULT % nc)) % nc
         w = ((ck * 7 + dst * 13) % 10 + 1).astype(np.float64)
         return pa.table({
             "src": pa.array([str(x) for x in ck], type=pa.string()),
@@ -227,10 +231,11 @@ def q_kcore(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 SQL_BASE = f"""
+ncust AS MATERIALIZED (SELECT count(*) AS n FROM customer),
 e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
-             (o_orderkey * {MULT}) % (SELECT count(*) FROM customer) AS dst
-      FROM orders
-      WHERE o_custkey <> (o_orderkey * {MULT}) % (SELECT count(*) FROM customer)),
+             ((o_orderkey % n) * ({MULT} % n)) % n AS dst
+      FROM orders, ncust
+      WHERE o_custkey <> ((o_orderkey % n) * ({MULT} % n)) % n),
 v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
 ub AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
 nv AS MATERIALIZED (SELECT count(*) AS n FROM v),
