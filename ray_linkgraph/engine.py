@@ -166,6 +166,17 @@ def precombine(kind: str, dst_local: np.ndarray, payload: dict):
     if kind == "min":
         starts = _runs(dst_local)
         return (dst_local[starts], np.minimum.reduceat(payload["val"], starts))
+    if kind == "max":
+        # ValueMaxCombiner (computer-api/.../combiner/ValueMaxCombiner.java)
+        starts = _runs(dst_local)
+        return (dst_local[starts], np.maximum.reduceat(payload["val"], starts))
+    if kind == "overwrite":
+        # OverwriteCombiner (computer-api/.../combiner/OverwriteCombiner.java)
+        # keeps one value per key; the reference's pick is processing-order
+        # dependent — ours is deterministically the FIRST emitted value
+        # (router sort is stable, partitions merge in fixed order)
+        starts = _runs(dst_local)
+        return (dst_local[starts], payload["val"][starts])
     if kind == "label_count":
         lab = payload["label"]
         order = np.lexsort((lab, dst_local))
@@ -247,6 +258,31 @@ class Inbox:
             self._mask = np.zeros(size, dtype=bool)
             self._mask[ud] = True
             self.min = dense
+        elif kind in ("max", "overwrite"):
+            if parts:
+                d = np.concatenate([p[0] for p in parts])
+                v = np.concatenate([p[1] for p in parts])
+                self.n_msgs = len(d)
+                order = np.argsort(d, kind="stable")
+                d, v = d[order], v[order]
+                starts = _runs(d)
+                ud = d[starts]
+                mv = (np.maximum.reduceat(v, starts) if kind == "max"
+                      else v[starts])        # overwrite: first emitted
+            else:
+                ud = np.zeros(0, dtype=np.int64)
+                mv = np.zeros(0, dtype=np.float64)
+            if np.issubdtype(mv.dtype, np.integer):
+                fill = (np.iinfo(mv.dtype).min if kind == "max" else 0)
+                dense = np.full(size, fill, dtype=mv.dtype)
+            else:
+                dense = np.full(size, -np.inf if kind == "max" else 0.0,
+                                dtype=mv.dtype)
+            dense[ud] = mv
+            self._mask = np.zeros(size, dtype=bool)
+            self._mask[ud] = True
+            setattr(self, kind, dense)
+            self.val = dense
         elif kind == "label_count":
             if parts:
                 d = np.concatenate([p[0] for p in parts])

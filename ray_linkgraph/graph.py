@@ -229,17 +229,26 @@ class Graph:
 
 def build_graph(edges_ds, graph_dir: str, n_parts: int,
                 extra_url_ds=None, weight_col: str | None = None,
-                n_buckets: int | None = None) -> Graph:
+                n_buckets: int | None = None,
+                limit_edges_per_vertex: int | None = None) -> Graph:
     """edges_ds: Dataset(src:string, dst:string[, weight]) -> on-disk Graph.
 
     Vertex set = {src} ∪ {dst} ∪ extra_url_ds (e.g. all page urls, so
     pages without in/out links are still vertices, as the reference loads
     isolated vertices).
+
+    ``limit_edges_per_vertex`` is the analog of the reference's
+    ``input.limit_edges_in_one_vertex`` degree cap (ComputerOptions.java
+    :186-194); the reference truncates in load order, ours keeps the K
+    smallest dst ids (deterministic Id-order truncation, documented
+    deviation).
     """
     if os.path.exists(os.path.join(graph_dir, "meta.json")):
         g = Graph.load(graph_dir)
         if g.meta["P"] == n_parts and \
-                g.meta.get("weight_col") == weight_col:
+                g.meta.get("weight_col") == weight_col and \
+                g.meta.get("limit_edges_per_vertex") == \
+                limit_edges_per_vertex:
             return g
         # build parameters differ: wipe stale artifacts so partitions
         # empty under the new layout can't keep old part files
@@ -412,7 +421,8 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         return t.append_column("part", pa.array(part, type=pa.int64()))
 
     n_edges = _write_partition_files(
-        enc.map_batches(prep, batch_format="pyarrow"), e_dir, weight_col)
+        enc.map_batches(prep, batch_format="pyarrow"), e_dir, weight_col,
+        limit_edges_per_vertex)
 
     meta = {
         "V": V,
@@ -422,6 +432,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         "bucket_offsets": offsets.tolist(),
         "boundaries_hex": [b.hex() for b in boundaries],
         "weight_col": weight_col,
+        "limit_edges_per_vertex": limit_edges_per_vertex,
         "edge_counts": {"out": n_edges},
     }
     g = Graph(graph_dir, meta)
@@ -429,10 +440,13 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     return g
 
 
-def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None) -> int:
+def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None,
+                           limit_per_vertex: int | None = None) -> int:
     """groupby(part) -> per-partition sorted+deduped parquet; returns total
     edge count after dedup. Dedup keeps min weight per (src,dst) when a
-    weight column exists (deterministic; SQL oracles replicate)."""
+    weight column exists (deterministic; SQL oracles replicate). The
+    optional degree cap keeps the first ``limit_per_vertex`` edges per
+    src in (src, dst) order."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -448,6 +462,9 @@ def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None) -> i
                     .sort(["src_id", "dst_id"]))
         else:
             lf = lf.unique().sort(["src_id", "dst_id"])
+        if limit_per_vertex is not None:
+            lf = lf.group_by("src_id", maintain_order=True) \
+                .head(limit_per_vertex)
         pq.write_table(lf.to_arrow(), os.path.join(out_dir, f"part_{p:05d}.parquet"))
         return pd.DataFrame({"part": [p], "count": [len(lf)]})
 

@@ -102,6 +102,32 @@ def q_knn_brute(sf_dir):
         similarity.knn_brute(_emb(sf_dir), _query_matrix(sf_dir), k=KNN_K))
 
 
+def q_media_decode(sf_dir):
+    """Real BMP decode through the actor-pool stage over a deterministic
+    synthetic media table (the testdata has no media table; input is a
+    pure function of the seed, independent of sf_dir). No SQL oracle —
+    image decoding is not SQL-expressible; the driver records the
+    rows-only check and pytest covers exact pixel roundtrips."""
+    from . import multimodal
+    t = multimodal.synthetic_media_table(200, seed=11, media_type="bmp")
+    out = multimodal.decode_media(ray.data.from_arrow(t), codec="image",
+                                  batch_size=32, concurrency=(1, 4))
+
+    def scalarize(b: pa.Table) -> pa.Table:
+        f = b.column("features").combine_chunks()
+        flat = f.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(b), -1)
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "width": b.column("width"), "height": b.column("height"),
+            "mean_r": pa.array(np.round(m[:, 2].astype(np.float64), 4)),
+            "mean_g": pa.array(np.round(m[:, 3].astype(np.float64), 4)),
+            "mean_b": pa.array(np.round(m[:, 4].astype(np.float64), 4)),
+        })
+
+    return out.map_batches(scalarize, batch_format="pyarrow")
+
+
 def q_knn_ivf(sf_dir):
     return _round_sim(
         similarity.knn_ivf(_emb(sf_dir), _query_matrix(sf_dir), k=KNN_K,
@@ -230,6 +256,7 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_ivf": q_knn_ivf,
+        "media_decode_bmp": q_media_decode,
     }
 
 

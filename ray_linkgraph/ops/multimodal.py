@@ -1,19 +1,129 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode codecs themselves are STUBBED (no image/audio libraries in
-this environment — decode raises NotImplementedError unless the
-deterministic fake codec is selected), but everything Ray-side is real
-and tested: the schema contract, the actor-pool stage shape (codec
-"loaded" once per actor in __init__), batch sizing for wide binary rows,
-and the output layout.
+Real, dependency-free image codecs are implemented for BMP (24/32-bit
+uncompressed) and PPM/PGM (P6/P5 binary) — both are trivial formats a
+few dozen lines of numpy decode exactly; ``codec="image"`` sniffs the
+magic bytes and produces per-image pixel statistics as the feature
+vector, plus a vectorized nearest-neighbor resize stage. Formats that
+genuinely need external libraries (JPEG/PNG/audio) raise
+NotImplementedError naming the dependency; ``codec="fake"`` remains the
+deterministic stand-in for plumbing tests.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 from .._util import hash_u64
+
+
+# ---------------------------------------------------------------------------
+# real codecs: BMP (24/32-bit uncompressed) + PPM/PGM (binary)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB -> 24-bit uncompressed bottom-up BMP."""
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    rows = arr[::-1, :, ::-1]                     # flip vertical, RGB->BGR
+    buf = np.zeros((h, row_size), dtype=np.uint8)
+    buf[:, :w * 3] = rows.reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    return header + info + buf.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed BMP -> uint8 (H, W, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    row_size = (w * nb + 3) & ~3
+    data = np.frombuffer(payload, np.uint8, count=row_size * h,
+                         offset=off).reshape(h, row_size)
+    px = data[:, :w * nb].reshape(h, w, nb)[:, :, :3][:, :, ::-1]
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5), maxval <= 255 -> uint8 (H, W, 3)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header tokens: magic, width, height, maxval ('#' comments allowed)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1                                       # single ws after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, np.uint8, count=w * h * ch,
+                       offset=pos).reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the magic bytes and decode (BMP / PPM / PGM)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decoding requires Pillow "
+                                  "(not installed)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("PNG decoding requires Pillow "
+                                  "(not installed)")
+    raise ValueError("unrecognized image payload")
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize of an (H, W, C) array."""
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return np.ascontiguousarray(px[yi[:, None], xi[None, :]])
+
+
+def image_features(px: np.ndarray, feat_dim: int = 8) -> np.ndarray:
+    """Deterministic per-image statistics feature vector: dims, per-
+    channel means, global std / min / max (padded/truncated to
+    feat_dim)."""
+    f = np.array([px.shape[1], px.shape[0],
+                  px[:, :, 0].mean(), px[:, :, 1].mean(),
+                  px[:, :, 2].mean(), px.std(),
+                  float(px.min()), float(px.max())], dtype=np.float32)
+    if feat_dim <= len(f):
+        return f[:feat_dim]
+    return np.r_[f, np.zeros(feat_dim - len(f), dtype=np.float32)]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -25,20 +135,38 @@ MEDIA_SCHEMA = pa.schema([
 
 def synthetic_media_table(n: int, seed: int = 42,
                           media_type: str = "image") -> pa.Table:
-    """Deterministic fake binary payloads for plumbing tests."""
+    """Deterministic binary payloads for tests/gates. ``media_type``:
+    "image" -> opaque hash bytes (plumbing tests with codec="fake");
+    "bmp" -> REAL decodable 24-bit BMPs (deterministic hash-gradient
+    pixels, varied dimensions)."""
     ids = np.arange(n, dtype=np.int64)
-    sizes = 64 + (hash_u64(np.uint64(seed), ids.astype(np.uint64))
-                  % np.uint64(192)).astype(np.int64)
-    payloads = []
-    for i, s in zip(ids, sizes):
-        u = hash_u64(np.uint64(seed), np.uint64(i),
-                     np.arange((s + 7) // 8, dtype=np.uint64))
-        payloads.append(u.tobytes()[:s])
+    payloads, sizes = [], []
+    if media_type == "bmp":
+        hs = hash_u64(np.uint64(seed), ids.astype(np.uint64))
+        for i in range(n):
+            w = int(16 + hs[i] % np.uint64(33))
+            h = int(16 + (hs[i] >> np.uint64(8)) % np.uint64(29))
+            yy, xx = np.mgrid[0:h, 0:w]
+            r = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+            gch = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+            b = (hash_u64(np.uint64(seed), np.uint64(i),
+                          (yy * w + xx).astype(np.uint64).ravel())
+                 % np.uint64(256)).astype(np.uint8).reshape(h, w)
+            payloads.append(encode_bmp(np.stack([r, gch, b], axis=2)))
+            sizes.append(len(payloads[-1]))
+    else:
+        szs = 64 + (hash_u64(np.uint64(seed), ids.astype(np.uint64))
+                    % np.uint64(192)).astype(np.int64)
+        for i, s in zip(ids, szs):
+            u = hash_u64(np.uint64(seed), np.uint64(i),
+                         np.arange((s + 7) // 8, dtype=np.uint64))
+            payloads.append(u.tobytes()[:s])
+        sizes = szs.tolist()
     return pa.table({
         "media_id": pa.array(ids),
         "payload": pa.array(payloads, type=pa.binary()),
-        "media_type": pa.array([media_type] * n),
-        "byte_size": pa.array(sizes),
+        "media_type": pa.array(["image"] * n),
+        "byte_size": pa.array(np.asarray(sizes, dtype=np.int64)),
     })
 
 
@@ -51,25 +179,26 @@ class MediaDecoder:
     identical either way.
     """
 
-    def __init__(self, codec: str = "fake", feat_dim: int = 8):
+    def __init__(self, codec: str = "fake", feat_dim: int = 8,
+                 resize_to: tuple[int, int] | None = None):
         self.feat_dim = feat_dim
+        self.resize_to = resize_to
         if codec == "fake":
             self.decode = self._decode_fake
         elif codec == "image":
-            try:
-                import PIL.Image  # noqa: F401  (not in this environment)
-                raise NotImplementedError(
-                    "real image decode path not implemented; use codec='fake'")
-            except ImportError:
-                raise NotImplementedError(
-                    "image decoding requires Pillow, which is not installed; "
-                    "use codec='fake' for the deterministic stand-in")
+            self.decode = self._decode_image   # real BMP/PPM/PGM decode
         elif codec == "audio":
             raise NotImplementedError(
                 "audio decoding requires soundfile/librosa (not installed); "
                 "use codec='fake'")
         else:
             raise ValueError(f"unknown codec {codec!r}")
+
+    def _decode_image(self, payload: bytes):
+        px = decode_image(payload)
+        if self.resize_to is not None:
+            px = resize_nearest(px, *self.resize_to)
+        return px.shape[1], px.shape[0], image_features(px, self.feat_dim)
 
     def _decode_fake(self, payload: bytes):
         u = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)

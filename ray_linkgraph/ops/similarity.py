@@ -70,16 +70,49 @@ def knn_brute(emb_ds, queries: np.ndarray, k: int = 10,
                                                    batch_format="pandas")
 
 
+def train_centroids(emb_ds, n_centroids: int = 16, seed: int = 11,
+                    sample_size: int = 4096, iters: int = 10,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on a driver-side sample (seeded, deterministic):
+    init = hash-picked sample rows, then Lloyd iterations with cosine
+    assignment; empty clusters re-seeded from the farthest points. The
+    sample is bounded (few thousand vectors) — training never scans the
+    full table; assignment/search stay distributed."""
+    sample = emb_ds.limit(sample_size).take_all()
+    X = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                             for r in sample]))
+    n = len(X)
+    k = min(n_centroids, n)
+    picks = hash_u64(np.uint64(seed),
+                     np.arange(k, dtype=np.uint64)) % np.uint64(n)
+    # de-dup collisions deterministically (linear probe fill)
+    picks = np.unique(picks.astype(np.int64))
+    cand = 0
+    while len(picks) < k:
+        if cand not in picks:
+            picks = np.sort(np.r_[picks, cand])
+        cand += 1
+    cents = X[picks[:k]].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ cents.T, axis=1)
+        sims = (X * cents[a]).sum(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = X[m].sum(axis=0)
+            else:                       # re-seed from the worst-fit point
+                cents[c] = X[int(np.argmin(sims))]
+        cents = _normalize(cents)
+    return cents
+
+
 def ivf_index(emb_ds, n_centroids: int = 16, seed: int = 11,
               id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Assign each vector to its nearest deterministic centroid.
+    """Assign each vector to its nearest TRAINED centroid (sampled
+    spherical k-means — round-1 used seeded random directions, whose
+    recall at real scale would be poor).
     Returns (centroids, bucketed Dataset with a 'bucket' column)."""
-    first = emb_ds.take(1)[0]
-    dim = len(first[vec_col])
-    u = hash_u64(np.uint64(seed),
-                 np.arange(n_centroids * dim, dtype=np.uint64))
-    cents = _normalize(((u >> np.uint64(11)).astype(np.float64)
-                        / float(1 << 53) - 0.5).reshape(n_centroids, dim))
+    cents = train_centroids(emb_ds, n_centroids, seed, vec_col=vec_col)
 
     def assign(batch: pa.Table) -> pa.Table:
         vecs = _normalize(np.stack(batch.column(vec_col).to_pylist())
