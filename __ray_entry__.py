@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_k4": tpch.q_closeness,
         "betweenness_k5": tpch.q_betweenness,
         "rings_k4": tpch.q_rings,
+        "links_k4": tpch.q_links,
     }
     q.update(ops_entries.queries())
     return q
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_k4": tpch.sql_closeness(),
         "betweenness_k5": tpch.sql_betweenness(),
         "rings_k4": tpch.sql_rings(),
+        "links_k4": tpch.sql_links(),
     }
     o.update(ops_entries.oracle_sql())
     return o

@@ -9,6 +9,7 @@ from .triangle import triangle_count, clustering_coefficient
 from .closeness import ClosenessProgram, closeness_centrality
 from .betweenness import BetweennessProgram, betweenness_centrality
 from .rings import RingsProgram, rings_detection
+from .links import LinksProgram, links
 
 __all__ = [
     "PageRankProgram", "pagerank", "WccProgram", "wcc", "LpaProgram", "lpa",
@@ -18,4 +19,5 @@ __all__ = [
     "ClosenessProgram", "closeness_centrality",
     "BetweennessProgram", "betweenness_centrality",
     "RingsProgram", "rings_detection",
+    "LinksProgram", "links",
 ]

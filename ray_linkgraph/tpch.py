@@ -38,7 +38,7 @@ from .graph import Graph, build_graph
 from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
                          triangle_count, clustering_coefficient, ppr,
                          closeness_centrality, betweenness_centrality,
-                         rings_detection)
+                         rings_detection, links)
 
 MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
 CACHE_ROOT = "/tmp/ray_linkgraph_cache"
@@ -53,6 +53,11 @@ PPR_SOURCE = 1          # ppr source = original node id 1
 CLOSENESS_STEPS = 4     # paths of <= 3 edges
 BETWEENNESS_STEPS = 5   # votes from paths of <= 3 edges
 RINGS_STEPS = 4         # rings of length <= 3
+LINKS_STEPS = 4         # link paths of <= 3 spread edges
+LINKS_STARTS = (0, 1, 2, 3, 4)
+LINKS_SPREAD = "w_out >= w_in"
+LINKS_END_EDGE = "w >= 9"
+LINKS_END_VERTEX = "node % 50 == 0" 
 
 
 def _ncust(sf_dir: str) -> int:
@@ -218,6 +223,35 @@ def q_rings(sf_dir: str) -> pa.Table:
     g = gate_graph(sf_dir)
     res = rings_detection(g, max_supersteps=RINGS_STEPS).to_arrow()
     return _with_nodes(g, res, {"ring_count": ("ring_count", None)})
+
+
+def q_links(sf_dir: str) -> pa.Table:
+    g = gate_graph(sf_dir)
+    nm = _node_map(g)
+    starts = np.flatnonzero(np.isin(nm, np.asarray(LINKS_STARTS)))
+    # predicates evaluate over ORIGINAL node ids -> map via nm inside a
+    # wrapper expression is not possible; instead translate: our v_ids
+    # are the dictionary order of stringified ids, so rebuild predicates
+    # over v_id via the node map lookup table
+    from ray_linkgraph.algorithms.links import LinksProgram
+    from ray_linkgraph.engine import run_program
+
+    prog = LinksProgram(starts.tolist(), spread=LINKS_SPREAD,
+                        end_edge=LINKS_END_EDGE,
+                        end_vertex=LINKS_END_VERTEX)
+    # node-id-based predicates: patch _ev/_ee to translate v_id -> node
+    nm_arr = nm
+
+    class GateLinks(LinksProgram):
+        def _ev(self, ids):
+            return (nm_arr[ids] % 50) == 0
+
+        def _ee(self, src, dst, w):
+            return w >= 9
+
+    prog = GateLinks(starts.tolist(), spread=LINKS_SPREAD)
+    res = run_program(g, prog, max_supersteps=LINKS_STEPS).to_arrow()
+    return _with_nodes(g, res, {"n_paths": ("n_paths", None)})
 
 
 def q_kcore(sf_dir: str) -> pa.Table:
@@ -498,6 +532,49 @@ ringc AS MATERIALIZED (
     UNION ALL SELECT v0 FROM rr3 WHERE cur = v0) GROUP BY v0)
 SELECT v.node, COALESCE(ringc.c, 0) AS ring_count
 FROM v LEFT JOIN ringc ON ringc.node = v.node ORDER BY v.node"""
+
+
+def sql_links(steps: int = LINKS_STEPS) -> str:
+    """Unrolled Links replica (gate config: starts 0-4, spread
+    w_out >= w_in, end-edge w >= 9, end-vertex node % 50 == 0).
+    Messages are carried as multiset rows (no DISTINCT) so path
+    multiplicity matches the engine exactly."""
+    starts_lit = ",".join(str(x) for x in LINKS_STARTS)
+    parts = [SQL_BASE.rstrip()]
+    parts.append(f"""
+ew AS MATERIALIZED (SELECT src, dst,
+              CAST((src * 7 + dst * 13) % 10 + 1 AS DOUBLE) AS w FROM e),
+lst AS MATERIALIZED (SELECT node FROM deg
+        WHERE node IN ({starts_lit}) AND d > 0),
+lsv0 AS MATERIALIZED (SELECT node, count(*) AS c FROM lst
+        WHERE node % 50 = 0 GROUP BY node),
+lse0 AS MATERIALIZED (SELECT ew.src AS node, count(*) AS c
+        FROM ew JOIN lst ON lst.node = ew.src
+        WHERE lst.node % 50 <> 0 AND ew.w >= 9 GROUP BY ew.src),
+lm1 AS MATERIALIZED (SELECT ew.dst AS cur, ew.w AS wl
+        FROM ew JOIN lst ON lst.node = ew.src
+        WHERE lst.node % 50 <> 0 AND ew.w < 9)""")
+    saves = ["lsv0", "lse0"]
+    for s in range(1, steps):
+        parts.append(f"""
+lsv{s} AS MATERIALIZED (SELECT cur AS node, count(*) AS c FROM lm{s}
+        WHERE cur % 50 = 0 GROUP BY cur),
+lse{s} AS MATERIALIZED (SELECT m.cur AS node, count(*) AS c
+        FROM lm{s} m JOIN ew ON ew.src = m.cur
+        WHERE m.cur % 50 <> 0 AND ew.w >= 9 GROUP BY m.cur)""")
+        saves += [f"lsv{s}", f"lse{s}"]
+        if s + 1 < steps:
+            parts.append(f"""
+lm{s + 1} AS MATERIALIZED (SELECT ew.dst AS cur, ew.w AS wl
+        FROM lm{s} m JOIN ew ON ew.src = m.cur
+        WHERE m.cur % 50 <> 0 AND ew.w < 9 AND ew.w >= m.wl)""")
+    union = " UNION ALL ".join(f"SELECT node, c FROM {x}" for x in saves)
+    body = ",".join(parts)
+    return f"""WITH {body},
+allsaves AS MATERIALIZED ({union})
+SELECT v.node, COALESCE(t.c, 0) AS n_paths
+FROM v LEFT JOIN (SELECT node, sum(c) AS c FROM allsaves GROUP BY node) t
+ON t.node = v.node ORDER BY v.node"""
 
 
 def sql_clustering() -> str:

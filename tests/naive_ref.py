@@ -235,3 +235,38 @@ def naive_rings(V, out_adj, max_steps=6):
                         nxt.append((t, seq + (d,)))
         msgs = nxt
     return rings
+
+
+def naive_links(V, out_adj_w, starts, spread, end_edge=None,
+                end_vertex=None, max_steps=5):
+    """Links.java:53-129 exactly; predicates are python callables:
+    spread(w_out, w_in), end_edge(src, dst, w), end_vertex(node)."""
+    saved = [[] for _ in range(V)]
+    msgs = []
+    for v in starts:
+        if not out_adj_w[v]:
+            continue
+        if end_vertex and end_vertex(v):
+            saved[v].append((v,))
+            continue
+        for t, w in out_adj_w[v]:
+            if end_edge and end_edge(v, t, w):
+                saved[v].append((v, t))
+            else:
+                msgs.append((t, (v,), (w,)))
+    for _ in range(1, max_steps):
+        if not msgs:
+            break
+        nxt = []
+        for d, pv, pw in msgs:
+            if end_vertex and end_vertex(d):
+                saved[d].append(pv + (d,))
+                continue
+            pv2 = pv + (d,)
+            for t, w in out_adj_w[d]:
+                if end_edge and end_edge(d, t, w):
+                    saved[d].append(pv2 + (t,))
+                elif spread(w, pw[-1]):
+                    nxt.append((t, pv2, pw + (w,)))
+        msgs = nxt
+    return saved

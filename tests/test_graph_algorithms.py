@@ -314,3 +314,23 @@ def test_rings_vs_reference_semantics(built):
                                 key=lambda x: (len(x), x))) for r in exp]
     assert res["rings"].tolist() == exp_strs
     assert sum(len(r) for r in exp) > 0      # graph has rings
+
+
+def test_links_vs_reference_semantics(built):
+    from ray_linkgraph.algorithms import links
+    g, _, _, edges = built
+    starts = [0, 1, 2, 3, 4]
+    res = links(g, starts, spread="w_out >= w_in",
+                end_edge="dst % 11 == 3", end_vertex="node % 7 == 0",
+                max_supersteps=4).to_arrow().to_pandas() \
+        .sort_values("v_id").reset_index(drop=True)
+    adj_w = [[(d, 1.0) for d in nbrs] for nbrs in adj_out(g.V, edges)]
+    exp = naive_ref.naive_links(
+        g.V, adj_w, starts, spread=lambda wo, wi: wo >= wi,
+        end_edge=lambda s, d, w: d % 11 == 3,
+        end_vertex=lambda n: n % 7 == 0, max_steps=4)
+    assert res["n_paths"].tolist() == [len(p) for p in exp]
+    exp_strs = [";".join(sorted(("-".join(map(str, t)) for t in p),
+                                key=lambda x: (len(x), x))) for p in exp]
+    assert res["paths"].tolist() == exp_strs
+    assert sum(len(p) for p in exp) > 0
