@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_k5": tpch.q_betweenness,
         "rings_k4": tpch.q_rings,
         "links_k4": tpch.q_links,
+        "subgraph_diamond": tpch.q_subgraph,
     }
     q.update(ops_entries.queries())
     return q
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_k5": tpch.sql_betweenness(),
         "rings_k4": tpch.sql_rings(),
         "links_k4": tpch.sql_links(),
+        "subgraph_diamond": tpch.sql_subgraph(),
     }
     o.update(ops_entries.oracle_sql())
     return o

@@ -218,9 +218,12 @@ class Graph:
     def ensure_mode(self, mode: str):
         if mode == "out" or mode in self.meta["edge_counts"]:
             return
-        if mode != "both":
+        if mode == "both":
+            _build_both_mode(self)
+        elif mode == "in":
+            _build_in_mode(self)
+        else:
             raise ValueError(f"unknown edge mode {mode!r}")
-        _build_both_mode(self)
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +473,39 @@ def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None,
 
     rows = parted_ds.groupby("part").map_groups(write_part, batch_format="pandas").take_all()
     return int(sum(r["count"] for r in rows))
+
+
+def _build_in_mode(g: Graph):
+    """Reverse-adjacency layout (edges_in/): every canonical directed
+    edge stored once as (dst, src), partitioned by the new src — gives
+    programs an IN-edge CSR (SubGraphMatch walks query edges in both
+    orientations, SubGraphMatch.sendMessage:151-160 edge.isInverse)."""
+    files = [g.edges_path("out", p) for p in range(g.P)
+             if os.path.exists(g.edges_path("out", p))]
+    part_size = g.part_size
+    out_dir = os.path.join(g.dir, "edges_in")
+    has_w = g.meta.get("weight_col") is not None
+    cols = ["src_id", "dst_id"] + (["weight"] if has_w else [])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_id").to_numpy()
+        d = batch.column("dst_id").to_numpy()
+        out = {"src_id": pa.array(d, type=pa.int64()),
+               "dst_id": pa.array(s, type=pa.int64()),
+               "part": pa.array(d // part_size, type=pa.int64())}
+        if has_w:
+            out["weight"] = batch.column("weight")
+        return pa.table(out)
+
+    if files:
+        ds = ray.data.read_parquet(files, columns=cols)
+        n = _write_partition_files(ds.map_batches(rev, batch_format="pyarrow"),
+                                   out_dir, "weight" if has_w else None)
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+    g.meta["edge_counts"]["in"] = n
+    g.save_meta()
 
 
 def _build_both_mode(g: Graph):

@@ -57,7 +57,8 @@ LINKS_STEPS = 4         # link paths of <= 3 spread edges
 LINKS_STARTS = (0, 1, 2, 3, 4)
 LINKS_SPREAD = "w_out >= w_in"
 LINKS_END_EDGE = "w >= 9"
-LINKS_END_VERTEX = "node % 50 == 0" 
+LINKS_END_VERTEX = "node % 50 == 0"
+SUBGRAPH_PATTERN = ((0, 1), (0, 2), (1, 3), (2, 3))   # directed diamond
 
 
 def _ncust(sf_dir: str) -> int:
@@ -252,6 +253,15 @@ def q_links(sf_dir: str) -> pa.Table:
     prog = GateLinks(starts.tolist(), spread=LINKS_SPREAD)
     res = run_program(g, prog, max_supersteps=LINKS_STEPS).to_arrow()
     return _with_nodes(g, res, {"n_paths": ("n_paths", None)})
+
+
+def q_subgraph(sf_dir: str) -> pa.Table:
+    """Diamond-pattern SubGraphMatch; counts stored at phi(root)=phi(0)
+    (the pattern's tree center)."""
+    from ray_linkgraph.algorithms.subgraph import subgraph_match
+    g = gate_graph(sf_dir)
+    res = subgraph_match(g, list(SUBGRAPH_PATTERN), 4).to_arrow()
+    return _with_nodes(g, res, {"n_matches": ("n_matches", None)})
 
 
 def q_kcore(sf_dir: str) -> pa.Table:
@@ -574,6 +584,24 @@ lm{s + 1} AS MATERIALIZED (SELECT ew.dst AS cur, ew.w AS wl
 allsaves AS MATERIALIZED ({union})
 SELECT v.node, COALESCE(t.c, 0) AS n_paths
 FROM v LEFT JOIN (SELECT node, sum(c) AS c FROM allsaves GROUP BY node) t
+ON t.node = v.node ORDER BY v.node"""
+
+
+def sql_subgraph() -> str:
+    """Injective homomorphism count of the directed diamond
+    0->1, 0->2, 1->3, 2->3, grouped by phi(0) (the tree root/center —
+    result-set parity is tree-independent, subgraph.py docstring)."""
+    return f"""WITH {SQL_BASE},
+sg AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, e3.dst AS d
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+  JOIN e e3 ON e3.src = e1.dst
+  JOIN e e4 ON e4.src = e2.dst AND e4.dst = e3.dst
+  WHERE e3.dst <> e1.src AND e3.dst <> e1.dst AND e3.dst <> e2.dst
+    AND e1.dst <> e1.src AND e2.dst <> e1.src)
+SELECT v.node, COALESCE(t.c, 0) AS n_matches
+FROM v LEFT JOIN (SELECT a AS node, count(*) AS c FROM sg GROUP BY a) t
 ON t.node = v.node ORDER BY v.node"""
 
 

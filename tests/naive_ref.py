@@ -270,3 +270,62 @@ def naive_links(V, out_adj_w, starts, spread, end_edge=None,
                     nxt.append((t, pv2, pw + (w,)))
         msgs = nxt
     return saved
+
+
+def naive_subgraph(out_adj, pattern_edges, n_nodes, preds=None):
+    """All injective homomorphisms of the directed pattern into the data
+    graph (brute-force backtracking). Returns list of dict
+    {pattern_node: data_id}."""
+    preds = preds or {}
+    V = len(out_adj)
+    out_sets = [set(a) for a in out_adj]
+    in_sets = [set() for _ in range(V)]
+    for u, nbrs in enumerate(out_adj):
+        for v in nbrs:
+            in_sets[v].add(u)
+    # assignment order: each next pattern node touches an assigned one
+    order = [0]
+    while len(order) < n_nodes:
+        for q in range(n_nodes):
+            if q in order:
+                continue
+            if any((a, b) in pattern_edges or (b, a) in pattern_edges
+                   for a, b in [(q, o) for o in order]):
+                order.append(q)
+                break
+    res = []
+
+    def rec(i, assign, used):
+        if i == n_nodes:
+            res.append(dict(assign))
+            return
+        q = order[i]
+        cands = None
+        for (a, b) in pattern_edges:
+            if a == q and b in assign:
+                c = in_sets[assign[b]]
+            elif b == q and a in assign:
+                c = out_sets[assign[a]]
+            else:
+                continue
+            cands = c if cands is None else cands & c
+        if cands is None:
+            cands = set(range(V))
+        for dv in cands:
+            if dv in used:
+                continue
+            if q in preds and not preds[q](dv):
+                continue
+            # verify all pattern edges among assigned
+            assign[q] = dv
+            ok = all(assign[b] in out_sets[assign[a]]
+                     for a, b in pattern_edges
+                     if a in assign and b in assign)
+            if ok:
+                used.add(dv)
+                rec(i + 1, assign, used)
+                used.discard(dv)
+            del assign[q]
+
+    rec(0, {}, set())
+    return res

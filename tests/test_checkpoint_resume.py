@@ -96,3 +96,38 @@ def test_manifest_lineage_and_metrics(graph, work_dir):
                open(os.path.join(ck, "metrics.jsonl"))]
     assert [m["step"] for m in metrics] == list(range(5))
     assert all("wall_s" in m and "aggs" in m for m in metrics)
+
+
+def test_closeness_resume_bitexact(graph, work_dir):
+    """Map-valued state (several checkpoint array lengths) resumes
+    bit-for-bit through the kv_min message path."""
+    from ray_linkgraph.algorithms import closeness_centrality
+    ck_a = os.path.join(work_dir, "ck_clo_full")
+    full = closeness_centrality(graph, max_supersteps=5,
+                                checkpoint_dir=ck_a)
+    exp = full.to_arrow().to_pandas().sort_values("v_id")
+    ck_b = os.path.join(work_dir, "ck_clo_cut")
+    closeness_centrality(graph, max_supersteps=5, checkpoint_dir=ck_b)
+    _truncate(ck_b, 1)
+    res = closeness_centrality(graph, max_supersteps=5,
+                               checkpoint_dir=ck_b, resume=True)
+    got = res.to_arrow().to_pandas().sort_values("v_id")
+    assert (got["closeness"].to_numpy() ==
+            exp["closeness"].to_numpy()).all()
+    assert (got["reachable"].to_numpy() == exp["reachable"].to_numpy()).all()
+
+
+def test_rings_resume_bitexact(graph, work_dir):
+    """Ragged path-message state (concat combiner) resumes exactly."""
+    from ray_linkgraph.algorithms import rings_detection
+    ck_a = os.path.join(work_dir, "ck_rings_full")
+    full = rings_detection(graph, max_supersteps=5, checkpoint_dir=ck_a)
+    exp = full.to_arrow().to_pandas().sort_values("v_id")
+    ck_b = os.path.join(work_dir, "ck_rings_cut")
+    rings_detection(graph, max_supersteps=5, checkpoint_dir=ck_b)
+    _truncate(ck_b, 2)
+    res = rings_detection(graph, max_supersteps=5, checkpoint_dir=ck_b,
+                          resume=True)
+    got = res.to_arrow().to_pandas().sort_values("v_id")
+    assert got["ring_count"].tolist() == exp["ring_count"].tolist()
+    assert got["rings"].tolist() == exp["rings"].tolist()

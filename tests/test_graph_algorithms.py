@@ -334,3 +334,46 @@ def test_links_vs_reference_semantics(built):
                                 key=lambda x: (len(x), x))) for p in exp]
     assert res["paths"].tolist() == exp_strs
     assert sum(len(p) for p in exp) > 0
+
+
+def test_subgraph_match_diamond(built):
+    from ray_linkgraph.algorithms.subgraph import subgraph_match, \
+        SubGraphProgram
+    g, _, _, edges = built
+    pat = [(0, 1), (0, 2), (1, 3), (2, 3)]          # directed diamond
+    res = subgraph_match(g, pat, 4).to_arrow().to_pandas() \
+        .sort_values("v_id").reset_index(drop=True)
+    adj = adj_out(g.V, edges)
+    embs = naive_ref.naive_subgraph(adj, pat, 4)
+    root_qv = SubGraphProgram(pat, 4).tree.root.qv
+    exp = np.zeros(g.V, dtype=np.int64)
+    for phi in embs:
+        exp[phi[root_qv]] += 1
+    assert res["n_matches"].tolist() == exp.tolist()
+    assert exp.sum() > 0
+    # embedding strings themselves (sorted pattern-node order) match
+    by_owner = {}
+    for phi in embs:
+        s = "-".join(str(phi[q]) for q in sorted(phi))
+        by_owner.setdefault(phi[root_qv], []).append(s)
+    exp_strs = [";".join(sorted(by_owner.get(v, []))) for v in range(g.V)]
+    assert res["matches"].tolist() == exp_strs
+
+
+def test_subgraph_match_with_predicate(built):
+    from ray_linkgraph.algorithms.subgraph import subgraph_match, \
+        SubGraphProgram
+    g, _, _, edges = built
+    pat = [(0, 1), (1, 2)]                           # directed 2-path
+    res = subgraph_match(g, pat, 3,
+                         node_predicates={2: "node % 3 == 0"}) \
+        .to_arrow().to_pandas().sort_values("v_id").reset_index(drop=True)
+    adj = adj_out(g.V, edges)
+    embs = naive_ref.naive_subgraph(adj, pat, 3,
+                                    preds={2: lambda n: n % 3 == 0})
+    root_qv = SubGraphProgram(pat, 3).tree.root.qv
+    exp = np.zeros(g.V, dtype=np.int64)
+    for phi in embs:
+        exp[phi[root_qv]] += 1
+    assert res["n_matches"].tolist() == exp.tolist()
+    assert exp.sum() > 0
