@@ -123,6 +123,81 @@ def ivf_index(emb_ds, n_centroids: int = 16, seed: int = 11,
     return cents, emb_ds.map_batches(assign, batch_format="pyarrow")
 
 
+class IvfIndex:
+    """Persisted IVF index: trained centroids + the embedding table
+    written as bucket-partitioned parquet. Build once, then every
+    search reads ONLY its nprobe bucket partitions from storage
+    (partition pruning at the read — at 100-TB scale the index build is
+    the one full pass and searches touch nprobe/n_centroids of the
+    data). Layout::
+
+        path/centroids.npy
+        path/data/bucket=<b>/*.parquet
+    """
+
+    def __init__(self, path: str, centroids: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.path = path
+        self.centroids = centroids
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @classmethod
+    def build(cls, emb_ds, path: str, n_centroids: int = 16,
+              seed: int = 11, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "IvfIndex":
+        import os
+        cents, bucketed = ivf_index(emb_ds, n_centroids, seed,
+                                    id_col, vec_col)
+        os.makedirs(path, exist_ok=True)
+        bucketed.write_parquet(os.path.join(path, "data"),
+                               partition_cols=["bucket"])
+        np.save(os.path.join(path, "centroids.npy"), cents)
+        return cls(path, cents, id_col, vec_col)
+
+    @classmethod
+    def load(cls, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "IvfIndex":
+        import os
+        cents = np.load(os.path.join(path, "centroids.npy"))
+        return cls(path, cents, id_col, vec_col)
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+               concurrency=(1, 8)):
+        """Top-k over the probed buckets only (partition-pruned read)."""
+        import os
+
+        import ray.data
+
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1,
+                           kind="stable")[:, :nprobe]
+        wanted = sorted({int(b) for row in probe for b in row})
+        # partition pruning by path: only the probed buckets are read
+        import glob
+        paths = [f for b in wanted for f in sorted(glob.glob(
+            os.path.join(self.path, "data", f"bucket={b}", "*.parquet")))]
+        if not paths:
+            import pandas as _pd
+            return ray.data.from_pandas(_pd.DataFrame(
+                {"query_idx": [], "vec_id": [], "sim": [], "rank": []}))
+        sub = ray.data.read_parquet(paths)
+        qref = ray.put(q)
+        partial = sub.map_batches(
+            BatchTopK, fn_constructor_args=(qref, k, self.id_col,
+                                            self.vec_col),
+            batch_format="pyarrow", concurrency=concurrency)
+
+        def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.sort_values(["sim", "vec_id"],
+                               ascending=[False, True]) \
+                .head(k).reset_index(drop=True)
+            d["rank"] = np.arange(1, len(d) + 1)
+            return d
+
+        return partial.groupby("query_idx").map_groups(
+            final_topk, batch_format="pandas")
+
+
 def knn_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             nprobe: int = 4, seed: int = 11, id_col: str = "vec_id",
             vec_col: str = "embedding", concurrency=(1, 8)):

@@ -298,3 +298,24 @@ def test_bmp_ppm_roundtrip_and_image_codec():
     assert out["width"][0] == exp0.shape[1]
     assert out["height"][0] == exp0.shape[0]
     assert abs(out["features"][0][2] - exp0[:, :, 0].mean()) < 1e-3
+
+
+def test_ivf_persisted_index(tmp_path):
+    vecs = np.cos(np.arange(300 * 6, dtype=np.float64).reshape(300, 6))
+    t = pa.table({"vec_id": pa.array(range(300), type=pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    idx = similarity.IvfIndex.build(rd.from_arrow(t), str(tmp_path / "ivf"),
+                                    n_centroids=6)
+    q = vecs[:2]
+    # full probe through the persisted index == brute force
+    brute = similarity.knn_brute(rd.from_arrow(t), q, k=5).to_pandas()
+    loaded = similarity.IvfIndex.load(str(tmp_path / "ivf"))
+    got = loaded.search(q, k=5, nprobe=6).to_pandas()
+    for qi in range(2):
+        a = brute[brute["query_idx"] == qi].sort_values("rank")["vec_id"]
+        b = got[got["query_idx"] == qi].sort_values("rank")["vec_id"]
+        assert list(a) == list(b)
+    # pruned probe still finds the self-match
+    got2 = loaded.search(q, k=3, nprobe=2).to_pandas()
+    assert set(got2[got2["rank"] == 1]["vec_id"]) == {0, 1}
