@@ -154,7 +154,6 @@ class LinksProgram(VertexProgram):
         return tgt[fi], fwd_pv, RaggedCol(flat, noff)
 
     def compute0(self, ctx, state, g):
-        vids = ctx.vids()
         local = self.start_nodes[(self.start_nodes >= ctx.lo)
                                  & (self.start_nodes < ctx.hi)] - ctx.lo
         deg = np.diff(self._weights(ctx)[0])

@@ -243,8 +243,6 @@ class SubGraphProgram(VertexProgram):
                 merged = RaggedCol(flat, noff)
                 if parent is self.tree.root:
                     # distinct-data-ids filter, then collect at v
-                    lens = merged.lengths() // 2
-                    rows = np.repeat(np.arange(len(merged)), lens * 2)
                     good = np.ones(len(merged), dtype=bool)
                     for i in range(len(merged)):
                         ids = merged.flat[

@@ -237,9 +237,6 @@ def q_links(sf_dir: str) -> pa.Table:
     from ray_linkgraph.algorithms.links import LinksProgram
     from ray_linkgraph.engine import run_program
 
-    prog = LinksProgram(starts.tolist(), spread=LINKS_SPREAD,
-                        end_edge=LINKS_END_EDGE,
-                        end_vertex=LINKS_END_VERTEX)
     # node-id-based predicates: patch _ev/_ee to translate v_id -> node
     nm_arr = nm
 
