@@ -20,10 +20,45 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 from ray.data.aggregate import Min, Sum
 
 from .._util import drop_empty_blocks
+
+# Below this many pairs the component computation runs in ONE Ray task
+# (numpy min-label with pointer jumping) instead of the iterated
+# Dataset join loop: each Dataset round costs seconds of job overhead
+# regardless of data size, which dominated the sf0.1 dedup bench. The
+# iterative path remains the 100-TB route for genuinely huge pair sets.
+CC_SINGLE_TASK_MAX = 5_000_000
+
+
+@ray.remote
+def _cc_local(*tables) -> pa.Table:
+    tables = [pa.Table.from_pandas(t, preserve_index=False)
+              if not isinstance(t, pa.Table) else t for t in tables]
+    tabs = [t.select(["a", "b"]) for t in tables if t.num_rows]
+    if not tabs:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "label": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(tabs)
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ia], lab[ib])
+        new = lab.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = new[new]               # pointer jumping
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                     "label": pa.array(nodes[lab], type=pa.int64())})
 
 
 def connected_components(pairs_ds, max_rounds: int = 50,
@@ -43,6 +78,15 @@ def connected_components(pairs_ds, max_rounds: int = 50,
     empty = ray.data.from_arrow(pa.table({
         "node": pa.array([], type=pa.int64()),
         "label": pa.array([], type=pa.int64())}))
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return empty
+    if n_pairs <= CC_SINGLE_TASK_MAX:
+        refs = []
+        for bundle in pairs_ds.iter_internal_ref_bundles():
+            refs.extend(r for r, _ in bundle.blocks)
+        return ray.data.from_arrow_refs([_cc_local.remote(*refs)])
     edges = drop_empty_blocks(
         pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
     if edges is None:

@@ -173,6 +173,37 @@ def _band_pairs(bands_ds):
         .map_groups(candidate_pairs, batch_format="pandas"))
 
 
+VERIFY_SINGLE_TASK_MAX = 2_000_000   # candidate pairs; above this the
+#                                      verification runs as Ray hash joins
+
+
+@ray.remote
+def _verify_pairs_local(pairs_tbl: pa.Table, threshold: float,
+                        *shingle_tables) -> pa.Table:
+    """Small-candidate-set fast path: one task holds the candidate
+    shingle blobs (candidates only — sparse by construction) and
+    verifies every pair; avoids two Dataset hash joins whose fixed job
+    overhead dominates at bench scale."""
+    blobs = {}
+    for t in shingle_tables:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        for did, sh in zip(t.column("doc_id").to_pylist(),
+                           t.column("shingles").to_pylist()):
+            blobs[did] = sh
+    a = pairs_tbl.column("a").to_numpy()
+    b = pairs_tbl.column("b").to_numpy()
+    keep = np.zeros(len(a), dtype=bool)
+    for i in range(len(a)):
+        x = np.frombuffer(blobs[int(a[i])], dtype=np.int64)
+        y = np.frombuffer(blobs[int(b[i])], dtype=np.int64)
+        inter = len(np.intersect1d(x, y, assume_unique=True))
+        union = len(x) + len(y) - inter
+        keep[i] = (inter / union if union else 1.0) >= threshold
+    return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                     "b": pa.array(b[keep], type=pa.int64())})
+
+
 def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
                       concurrency=(1, 8), num_partitions: int = 8):
     """-> Dataset(doc_id, cluster, is_duplicate).
@@ -196,6 +227,18 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
     shingles = docs_ds.map_batches(
         _CandidateShingles, fn_constructor_args=(cand_ref,),
         batch_format="pyarrow", concurrency=concurrency)
+
+    if pairs_tbl.num_rows <= VERIFY_SINGLE_TASK_MAX:
+        # small candidate set: verify in one task over the (sparse)
+        # candidate shingle blocks — skips two hash-join jobs
+        sh_refs = []
+        for bundle in shingles.materialize().iter_internal_ref_bundles():
+            sh_refs.extend(r for r, _ in bundle.blocks)
+        verified = ray.data.from_arrow_refs(
+            [_verify_pairs_local.remote(pairs_tbl, threshold, *sh_refs)])
+        labels = connected_components(verified,
+                                      num_partitions=num_partitions)
+        return assign_clusters(docs_ds, labels)
 
     # distributed verify: pairs ⋈ shingles(a) ⋈ shingles(b), Jaccard in
     # the join tasks (hash-partitioned by doc id, never on the driver)
