@@ -165,14 +165,13 @@ class BetweennessProgram(VertexProgram):
             state["v_val"] = np.zeros(0, dtype=np.float64)
             return e, {"seq": empty_seq,
                        "vote": np.zeros(0, dtype=np.float64)}, {}
-        # 2) path messages
+        # 2) path messages (row indices composed so the expensive ragged
+        # gather happens ONCE, on the final kept+ordered selection)
         lens = seqs.lengths()
-        is_path = lens > 0
-        pi = np.flatnonzero(is_path)
+        pi = np.flatnonzero(lens > 0)
         v = dst[pi]
-        pseq = seqs[pi]
-        source = pseq.flat[pseq.offsets[:-1]] if len(pi) else \
-            np.zeros(0, dtype=np.int64)
+        source = (seqs.flat[seqs.offsets[:-1][pi]] if len(pi)
+                  else np.zeros(0, dtype=np.int64))
         # first-arrival + store_perf gate (pre-superstep arrived state)
         a_key = state["a_vert"] * ctx.V + state["a_src"]
         key = v * ctx.V + source
@@ -186,14 +185,15 @@ class BetweennessProgram(VertexProgram):
         if self.store_perf is not None:
             a_count = np.bincount(state["a_vert"], minlength=ctx.size)
             ok &= a_count[v] < self.store_perf
-        v, pseq, source, key = v[ok], pseq[ok], source[ok], key[ok]
+        oki = np.flatnonzero(ok)
+        v, source, key = v[oki], source[oki], key[oki]
         # 3) per (v, source): totalCount and idCount over intermediates
         votes_dst = np.zeros(0, dtype=np.int64)
         votes_val = np.zeros(0, dtype=np.float64)
         if len(v):
             order = np.argsort(key, kind="stable")
-            v, pseq, source, key = v[order], pseq[order], source[order], \
-                key[order]
+            v, source, key = v[order], source[order], key[order]
+            pseq = seqs[pi[oki][order]]       # single ragged gather
             runs = np.r_[0, np.flatnonzero(np.diff(key) != 0) + 1]
             totals = np.diff(np.r_[runs, len(key)])
             grp_of_msg = np.repeat(np.arange(len(runs)), totals)
@@ -217,6 +217,16 @@ class BetweennessProgram(VertexProgram):
                 cnt = np.diff(np.r_[r2, len(mid_s)])
                 votes_dst = mid_s[r2]
                 votes_val = cnt / totals[grp_s[r2]]
+                # map-side combine: votes are pure sums at the receiver,
+                # so collapse to one row per destination before routing
+                # (the reference ships one message per (source, mid) —
+                # 29.6M rows at the sf0.1 bench vs <=V combined)
+                if len(votes_dst):
+                    o4 = np.argsort(votes_dst, kind="stable")
+                    vd, vv = votes_dst[o4], votes_val[o4]
+                    r4 = np.r_[0, np.flatnonzero(np.diff(vd) != 0) + 1]
+                    votes_dst = vd[r4]
+                    votes_val = np.add.reduceat(vv, r4)
             # 4) merge new arrivals (distinct (v, source))
             nv, ns = v[runs], source[runs]
             av = np.concatenate([state["a_vert"], nv])
