@@ -163,14 +163,67 @@ class _CandidateShingles:
         })
 
 
+def _runs_pairs(sort_keys: tuple, ids: np.ndarray, payloads=()):
+    """All intra-run (a, b) pairs over rows grouped by ``sort_keys`` —
+    fully vectorized (no per-bucket Python): lexsort, run detection,
+    then the classic repeat/arange pair expansion. Returns (a, b,
+    [(pay_a, pay_b), ...]) with a < b canonical."""
+    e = np.zeros(0, dtype=np.int64)
+    if len(ids) == 0:
+        return e, e, [(p[:0], p[:0]) for p in payloads]
+    order = np.lexsort((ids,) + tuple(reversed(sort_keys)))
+    idv = ids[order]
+    ks = [np.asarray(k)[order] for k in sort_keys]
+    pay = [np.asarray(p)[order] for p in payloads]
+    change = np.zeros(len(idv), dtype=bool)
+    change[0] = True
+    for k in ks:
+        change[1:] |= k[1:] != k[:-1]
+    run_start = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    local = np.arange(len(idv), dtype=np.int64) - run_start[run_id]
+    total = int(local.sum())
+    if total == 0:
+        return e, e, [(p[:0], p[:0]) for p in pay]
+    b_idx = np.repeat(np.arange(len(idv), dtype=np.int64), local)
+    off = np.cumsum(local) - local
+    a_idx = (np.repeat(run_start[run_id], local)
+             + np.arange(total, dtype=np.int64)
+             - np.repeat(off, local))
+    a, b = idv[a_idx], idv[b_idx]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return lo, hi, [(p[a_idx], p[b_idx]) for p in pay]
+
+
+N_PAIR_GROUPS = 32   # coarse shuffle groups for candidate pair generation
+#                      (per-(bucket) map_groups spawns one task per TINY
+#                      group — 75k groups cost ~11s for 256 pairs at sf0.1)
+
+
+def _coarse_group(cols):
+    from .._util import hash_u64
+
+    def add(t: pa.Table) -> pa.Table:
+        acc = hash_u64(*[t.column(c).to_numpy().astype(np.uint64)
+                         for c in cols])
+        return t.append_column("_g", pa.array(
+            (acc % np.uint64(N_PAIR_GROUPS)).astype(np.int64)))
+
+    return add
+
+
 def _band_pairs(bands_ds):
-    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a, b = _all_pairs(df["doc_id"].to_numpy())
-        return pd.DataFrame({"a": a, "b": b})
+    def gen(t: pa.Table) -> pa.Table:
+        lo, hi, _ = _runs_pairs(
+            (t.column("band").to_numpy(), t.column("band_hash").to_numpy()),
+            t.column("doc_id").to_numpy())
+        return pa.table({"a": pa.array(lo, type=pa.int64()),
+                         "b": pa.array(hi, type=pa.int64())})
 
     return _dedup_pairs(
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(candidate_pairs, batch_format="pandas"))
+        bands_ds.map_batches(_coarse_group(["band", "band_hash"]),
+                             batch_format="pyarrow")
+        .groupby("_g").map_groups(gen, batch_format="pyarrow"))
 
 
 VERIFY_SINGLE_TASK_MAX = 2_000_000   # candidate pairs; above this the
@@ -320,24 +373,20 @@ def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=(1, 8),
             "qv": pa.array(qv.reshape(-1)),
         })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy()
-        sig = dict(zip(ids.tolist(), df["simhash"].to_numpy().tolist()))
-        ids = np.unique(ids)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        a, b = _all_pairs(ids)
-        sa = np.array([sig[x] for x in a.tolist()], dtype=np.uint64)
-        sb = np.array([sig[x] for x in b.tolist()], dtype=np.uint64)
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        lo, hi, [(sa, sb)] = _runs_pairs(
+            (t.column("q").to_numpy(), t.column("qv").to_numpy()),
+            t.column("doc_id").to_numpy(),
+            payloads=(t.column("simhash").to_numpy().astype(np.uint64),))
         ham = texthash.popcount64(sa ^ sb)
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+        return pa.table({"a": pa.array(lo[keep], type=pa.int64()),
+                         "b": pa.array(hi[keep], type=pa.int64())})
 
     verified = _dedup_pairs(
         sigs.map_batches(quarters, batch_format="pyarrow")
-        .groupby(["q", "qv"])
-        .map_groups(bucket_pairs, batch_format="pandas"))
+        .map_batches(_coarse_group(["q", "qv"]), batch_format="pyarrow")
+        .groupby("_g").map_groups(bucket_pairs, batch_format="pyarrow"))
     labels = connected_components(verified, num_partitions=num_partitions)
     return assign_clusters(docs_ds, labels)
 
