@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rings_k4": tpch.q_rings,
         "links_k4": tpch.q_links,
         "subgraph_diamond": tpch.q_subgraph,
+        "louvain_l1": tpch.q_louvain,
     }
     q.update(ops_entries.queries())
     return q
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "rings_k4": tpch.sql_rings(),
         "links_k4": tpch.sql_links(),
         "subgraph_diamond": tpch.sql_subgraph(),
+        "louvain_l1": tpch.sql_louvain(),
     }
     o.update(ops_entries.oracle_sql())
     return o

@@ -10,6 +10,7 @@ from .closeness import ClosenessProgram, closeness_centrality
 from .betweenness import BetweennessProgram, betweenness_centrality
 from .rings import RingsProgram, rings_detection
 from .links import LinksProgram, links
+from .louvain import louvain_communities
 
 __all__ = [
     "PageRankProgram", "pagerank", "WccProgram", "wcc", "LpaProgram", "lpa",
@@ -19,5 +20,5 @@ __all__ = [
     "ClosenessProgram", "closeness_centrality",
     "BetweennessProgram", "betweenness_centrality",
     "RingsProgram", "rings_detection",
-    "LinksProgram", "links",
+    "LinksProgram", "links", "louvain_communities",
 ]

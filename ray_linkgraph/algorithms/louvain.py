@@ -1,0 +1,140 @@
+"""Louvain-style community detection — a DISTRIBUTED variant.
+
+The reference's Louvain is explicitly NOT distributed: it fetches the
+whole graph into one process and runs the sequential VOS modularity
+optimizer (/root/reference/computer-algorithm/.../community/louvain/
+Louvain.java:44-62 + HGModularityOptimizer.java, dedicated
+WorkerServiceLouvain.java). Its exact output therefore cannot be
+reproduced by any parallel schedule; this module implements the
+standard SYNCHRONOUS one-level local-moving phase as a Ray Data
+pipeline instead (documented deviation):
+
+round r (all vertices decide simultaneously, deterministic):
+    * community totals  tot(c) = Σ weighted degree of members;
+    * k_{v,c} = Σ edge weight from v into community c — a distributed
+      edge pass with map-side partials + groupby (v, c) Sum;
+    * one-level modularity gain  ΔQ(v→c) ∝ k_{v,c} − k_v·tot'(c)/2m
+      with tot'(c) = tot(c) − k_v when c is v's current community (the
+      c == cur row therefore equals the STAYING gain);
+    * v adopts the argmax-gain community (ties → smallest label) iff it
+      strictly beats staying; stop when nothing moves.
+
+The per-round label/degree/total lookup tables are broadcast once via
+ray.put (V-bounded — fine to tens of millions of vertices; the
+billion-vertex route replaces the broadcast and the per-round decision
+reduce with hash joins). Undirected semantics via the graph's
+both-direction layout; weights default 1.0.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..graph import Graph
+
+
+def _collect(ds) -> pa.Table | None:
+    tabs = [t if isinstance(t, pa.Table)
+            else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(ds.to_arrow_refs())]
+    tabs = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def _edges_both_ds(graph: Graph):
+    graph.ensure_mode("both")
+    files = [graph.edges_path("both", p) for p in range(graph.P)
+             if os.path.exists(graph.edges_path("both", p))]
+    has_w = graph.meta.get("weight_col") is not None
+    cols = ["src_id", "dst_id"] + (["weight"] if has_w else [])
+    ds = ray.data.read_parquet(files, columns=cols)
+    if not has_w:
+        ds = ds.map_batches(
+            lambda t: t.append_column("weight",
+                                      pa.array(np.ones(len(t)))),
+            batch_format="pyarrow")
+    return ds
+
+
+def louvain_communities(graph: Graph, max_rounds: int = 10):
+    """-> Dataset(node, community): one level of synchronous local
+    moving; every vertex of the graph appears (isolated -> singleton)."""
+    edges = _edges_both_ds(graph).materialize()
+    two_m = float(edges.sum("weight") or 0.0)
+    all_nodes = np.arange(graph.V, dtype=np.int64)
+    if two_m == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(all_nodes),
+            "community": pa.array(all_nodes)}))
+
+    kd = _collect(edges.groupby("src_id").aggregate(
+        Sum("weight", alias_name="k")))
+    k_v = np.zeros(graph.V, dtype=np.float64)
+    k_v[kd.column("src_id").to_numpy()] = kd.column("k").to_numpy()
+    labels = all_nodes.copy()
+
+    for _ in range(max_rounds):
+        tot = np.bincount(labels, weights=k_v, minlength=graph.V)
+        ref = ray.put((labels, k_v, tot))
+
+        class Gain:
+            """Distributed edge pass: per-batch partial k_{v,c} rows,
+            then the modularity gain once globally summed."""
+
+            def __init__(self):
+                self.lab, self.k, self.tot = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                v = t.column("src_id").to_numpy()
+                c = self.lab[t.column("dst_id").to_numpy()]
+                w = t.column("weight").to_numpy()
+                order = np.lexsort((c, v))
+                v2, c2, w2 = v[order], c[order], w[order]
+                runs = np.r_[0, np.flatnonzero(
+                    (np.diff(v2) != 0) | (np.diff(c2) != 0)) + 1]
+                return pa.table({
+                    "node": pa.array(v2[runs]),
+                    "cand": pa.array(c2[runs]),
+                    "kvc": pa.array(np.add.reduceat(w2, runs))})
+
+        kvc_tbl = _collect(
+            edges.map_batches(Gain, batch_format="pyarrow",
+                              concurrency=(1, 8))
+            .groupby(["node", "cand"])
+            .aggregate(Sum("kvc", alias_name="kvc")))
+        if kvc_tbl is None:
+            break
+        n2 = kvc_tbl.column("node").to_numpy().astype(np.int64)
+        c2 = kvc_tbl.column("cand").to_numpy().astype(np.int64)
+        kvc = kvc_tbl.column("kvc").to_numpy()
+        cur2 = labels[n2]
+        tot_adj = tot[c2] - np.where(c2 == cur2, k_v[n2], 0.0)
+        g2 = kvc - k_v[n2] * tot_adj / two_m
+        # best candidate per node, ties (gain desc, cand asc)
+        o2 = np.lexsort((c2, -g2, n2))
+        n3, c3, g3 = n2[o2], c2[o2], g2[o2]
+        first = np.r_[0, np.flatnonzero(np.diff(n3) != 0) + 1]
+        best_n, best_c, best_g = n3[first], c3[first], g3[first]
+        # staying gain: the (node, cur) row when it exists, else the
+        # closed form with k_{v,cur} = 0
+        cur_b = labels[best_n]
+        stay = -k_v[best_n] * (tot[cur_b] - k_v[best_n]) / two_m
+        is_cur = c2 == cur2
+        if is_cur.any():
+            pos = np.searchsorted(best_n, n2[is_cur])
+            stay[pos] = g2[is_cur]
+        do = (best_g > stay + 1e-15) & (best_c != cur_b)
+        if not do.any():
+            break
+        labels = labels.copy()
+        labels[best_n[do]] = best_c[do]
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(all_nodes),
+        "community": pa.array(labels)}))

@@ -59,6 +59,7 @@ LINKS_SPREAD = "w_out >= w_in"
 LINKS_END_EDGE = "w >= 9"
 LINKS_END_VERTEX = "node % 50 == 0"
 SUBGRAPH_PATTERN = ((0, 1), (0, 2), (1, 3), (2, 3))   # directed diamond
+LOUVAIN_ROUNDS = 5
 
 
 def _ncust(sf_dir: str) -> int:
@@ -259,6 +260,19 @@ def q_subgraph(sf_dir: str) -> pa.Table:
     g = gate_graph(sf_dir)
     res = subgraph_match(g, list(SUBGRAPH_PATTERN), 4).to_arrow()
     return _with_nodes(g, res, {"n_matches": ("n_matches", None)})
+
+
+def q_louvain(sf_dir: str) -> pa.Table:
+    """Distributed Louvain-style one-level local moving (the reference's
+    Louvain is single-process by design — louvain.py docstring)."""
+    from ray_linkgraph.algorithms.louvain import louvain_communities
+    g = gate_graph(sf_dir)
+    nm = _node_map(g)
+    df = louvain_communities(g, max_rounds=LOUVAIN_ROUNDS).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(nm[df["node"].to_numpy()]),
+        "community": pa.array(nm[df["community"].to_numpy()])})
 
 
 def q_kcore(sf_dir: str) -> pa.Table:
@@ -600,6 +614,63 @@ sg AS MATERIALIZED (
 SELECT v.node, COALESCE(t.c, 0) AS n_matches
 FROM v LEFT JOIN (SELECT a AS node, count(*) AS c FROM sg GROUP BY a) t
 ON t.node = v.node ORDER BY v.node"""
+
+
+def sql_louvain(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous one-level local moving, bit-identical to
+    algorithms/louvain.py (weights/sums are exact small integers in
+    float64, so gains and ties replicate exactly)."""
+    parts = [SQL_BASE.rstrip()]
+    parts.append("""
+ew2 AS MATERIALIZED (SELECT src, dst,
+        CAST((src * 7 + dst * 13) % 10 + 1 AS DOUBLE) AS w FROM e),
+ubw AS MATERIALIZED (SELECT a, b, min(w) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM ew2
+        UNION ALL SELECT dst, src, w FROM ew2) GROUP BY a, b),
+kdeg AS MATERIALIZED (SELECT a AS node, sum(w) AS k FROM ubw GROUP BY a),
+twom AS MATERIALIZED (SELECT sum(w) AS m2 FROM ubw),
+lv0 AS MATERIALIZED (SELECT v.node, v.node AS lab,
+        COALESCE(kdeg.k, 0.0) AS k
+        FROM v LEFT JOIN kdeg ON kdeg.node = v.node)""")
+    for r in range(rounds):
+        parts.append(f"""
+lt{r} AS MATERIALIZED (SELECT lab, sum(k) AS tot FROM lv{r} GROUP BY lab),
+lkvc{r} AS MATERIALIZED (
+  SELECT ubw.a AS node, l.lab AS cand, sum(ubw.w) AS kvc
+  FROM ubw JOIN lv{r} l ON l.node = ubw.b GROUP BY ubw.a, l.lab),
+lg{r} AS MATERIALIZED (
+  SELECT kv.node, kv.cand,
+         kv.kvc - me.k * (t.tot - CASE WHEN kv.cand = me.lab
+                                       THEN me.k ELSE 0.0 END)
+                  / (SELECT m2 FROM twom) AS gain
+  FROM lkvc{r} kv
+  JOIN lv{r} me ON me.node = kv.node
+  JOIN lt{r} t ON t.lab = kv.cand),
+lb{r} AS MATERIALIZED (
+  SELECT node, cand, gain FROM (
+    SELECT node, cand, gain,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY gain DESC, cand ASC) AS rn
+    FROM lg{r}) x WHERE rn = 1),
+ls{r} AS MATERIALIZED (
+  SELECT me.node,
+         COALESCE(g.gain,
+                  -me.k * (t.tot - me.k) / (SELECT m2 FROM twom)) AS stay
+  FROM lv{r} me
+  JOIN lt{r} t ON t.lab = me.lab
+  LEFT JOIN lg{r} g ON g.node = me.node AND g.cand = me.lab),
+lv{r + 1} AS MATERIALIZED (
+  SELECT me.node,
+         CASE WHEN b.gain IS NOT NULL AND b.gain > s.stay + 1e-15
+                   AND b.cand <> me.lab
+              THEN b.cand ELSE me.lab END AS lab,
+         me.k
+  FROM lv{r} me
+  JOIN ls{r} s ON s.node = me.node
+  LEFT JOIN lb{r} b ON b.node = me.node)""")
+    body = ",".join(parts)
+    return (f"WITH {body} SELECT node, lab AS community FROM lv{rounds} "
+            f"ORDER BY node")
 
 
 def sql_clustering() -> str:

@@ -329,3 +329,47 @@ def naive_subgraph(out_adj, pattern_edges, n_nodes, preds=None):
 
     rec(0, {}, set())
     return res
+
+
+def naive_louvain_one_level(V, und_adj_w, max_rounds=10):
+    """Synchronous one-level local-moving mirror of
+    ray_linkgraph.algorithms.louvain (NOT the reference's sequential
+    VOS optimizer — see that module's docstring)."""
+    k = [sum(w for _, w in a) for a in und_adj_w]
+    two_m = sum(k)
+    labels = list(range(V))
+    if two_m == 0:
+        return labels
+    for _ in range(max_rounds):
+        tot = [0.0] * V
+        for v in range(V):
+            tot[labels[v]] += k[v]
+        new = labels[:]
+        moved = False
+        for v in range(V):
+            if not und_adj_w[v]:
+                continue
+            kvc = {}
+            for t, w in und_adj_w[v]:
+                c = labels[t]
+                kvc[c] = kvc.get(c, 0.0) + w
+            cur = labels[v]
+
+            def gain(c):
+                ta = tot[c] - (k[v] if c == cur else 0.0)
+                return kvc.get(c, 0.0) - k[v] * ta / two_m
+
+            stay = gain(cur)
+            best_c, best_g = None, None
+            for c in sorted(kvc):
+                g = gain(c)
+                if best_g is None or g > best_g:
+                    best_c, best_g = c, g
+            if best_g is not None and best_g > stay + 1e-15 \
+                    and best_c != cur:
+                new[v] = best_c
+                moved = True
+        if not moved:
+            break
+        labels = new
+    return labels

@@ -377,3 +377,18 @@ def test_subgraph_match_with_predicate(built):
         exp[phi[root_qv]] += 1
     assert res["n_matches"].tolist() == exp.tolist()
     assert exp.sum() > 0
+
+
+def test_louvain_distributed_variant(built):
+    from ray_linkgraph.algorithms.louvain import louvain_communities
+    g, _, _, edges = built
+    res = louvain_communities(g, max_rounds=10).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    both = edges | {(d, s) for s, d in edges}   # deduped, as edges_both
+    und = [[] for _ in range(g.V)]
+    for s, d in both:
+        und[s].append((d, 1.0))
+    exp = naive_ref.naive_louvain_one_level(g.V, und, max_rounds=10)
+    assert res["community"].tolist() == exp
+    # communities actually formed (fewer than V singletons)
+    assert len(set(exp)) < g.V
