@@ -76,16 +76,6 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 # shared: candidate-pair helpers
 # ---------------------------------------------------------------------------
 
-def _all_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    ids = np.unique(ids)
-    if len(ids) < 2:
-        e = np.zeros(0, dtype=np.int64)
-        return e, e
-    a, b = np.meshgrid(ids, ids)
-    m = a < b
-    return a[m], b[m]
-
-
 def _dedup_pairs(pairs_ds):
     """Distinct (a, b) rows via a hash-partitioned groupby."""
     from ray.data.aggregate import Count

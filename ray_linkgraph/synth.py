@@ -20,7 +20,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 
 from ._util import ceil_div, hash_u64, uniform01

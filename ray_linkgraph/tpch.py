@@ -38,7 +38,7 @@ from .graph import Graph, build_graph
 from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
                          triangle_count, clustering_coefficient, ppr,
                          closeness_centrality, betweenness_centrality,
-                         rings_detection, links)
+                         rings_detection)
 
 MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
 CACHE_ROOT = "/tmp/ray_linkgraph_cache"
