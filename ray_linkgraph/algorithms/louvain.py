@@ -83,36 +83,49 @@ def louvain_communities(graph: Graph, max_rounds: int = 10):
         tot = np.bincount(labels, weights=k_v, minlength=graph.V)
         ref = ray.put((labels, k_v, tot))
 
-        class Gain:
-            """Distributed edge pass: per-batch partial k_{v,c} rows,
-            then the modularity gain once globally summed."""
+        def gain_pass(t: pa.Table) -> pa.Table:
+            # distributed edge pass: per-batch partial k_{v,c} rows
+            # (plain tasks, not an actor pool — a fresh pool per round
+            # costs seconds of actor startup; the broadcast tables are
+            # zero-copy plasma reads per task)
+            lab, _, _ = ray.get(ref)
+            v = t.column("src_id").to_numpy()
+            c = lab[t.column("dst_id").to_numpy()]
+            w = t.column("weight").to_numpy()
+            order = np.lexsort((c, v))
+            v2, c2, w2 = v[order], c[order], w[order]
+            runs = np.r_[0, np.flatnonzero(
+                (np.diff(v2) != 0) | (np.diff(c2) != 0)) + 1]
+            return pa.table({
+                "node": pa.array(v2[runs]),
+                "cand": pa.array(c2[runs]),
+                "kvc": pa.array(np.add.reduceat(w2, runs))})
 
-            def __init__(self):
-                self.lab, self.k, self.tot = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                v = t.column("src_id").to_numpy()
-                c = self.lab[t.column("dst_id").to_numpy()]
-                w = t.column("weight").to_numpy()
-                order = np.lexsort((c, v))
-                v2, c2, w2 = v[order], c[order], w[order]
-                runs = np.r_[0, np.flatnonzero(
-                    (np.diff(v2) != 0) | (np.diff(c2) != 0)) + 1]
-                return pa.table({
-                    "node": pa.array(v2[runs]),
-                    "cand": pa.array(c2[runs]),
-                    "kvc": pa.array(np.add.reduceat(w2, runs))})
-
-        kvc_tbl = _collect(
-            edges.map_batches(Gain, batch_format="pyarrow",
-                              concurrency=(1, 8))
-            .groupby(["node", "cand"])
-            .aggregate(Sum("kvc", alias_name="kvc")))
-        if kvc_tbl is None:
-            break
-        n2 = kvc_tbl.column("node").to_numpy().astype(np.int64)
-        c2 = kvc_tbl.column("cand").to_numpy().astype(np.int64)
-        kvc = kvc_tbl.column("kvc").to_numpy()
+        partials = edges.map_batches(gain_pass, batch_format="pyarrow")
+        if graph.num_edges("both") <= 5_000_000:
+            # small graph: sum the (already per-batch combined) partials
+            # in one pass — a groupby job per round costs seconds of
+            # fixed overhead regardless of size
+            kvc_tbl = _collect(partials)
+            if kvc_tbl is None:
+                break
+            n0 = kvc_tbl.column("node").to_numpy().astype(np.int64)
+            c0 = kvc_tbl.column("cand").to_numpy().astype(np.int64)
+            w0 = kvc_tbl.column("kvc").to_numpy()
+            o0 = np.lexsort((c0, n0))
+            n0, c0, w0 = n0[o0], c0[o0], w0[o0]
+            runs = np.r_[0, np.flatnonzero((np.diff(n0) != 0) |
+                                           (np.diff(c0) != 0)) + 1]
+            n2, c2 = n0[runs], c0[runs]
+            kvc = np.add.reduceat(w0, runs)
+        else:
+            kvc_tbl = _collect(partials.groupby(["node", "cand"])
+                               .aggregate(Sum("kvc", alias_name="kvc")))
+            if kvc_tbl is None:
+                break
+            n2 = kvc_tbl.column("node").to_numpy().astype(np.int64)
+            c2 = kvc_tbl.column("cand").to_numpy().astype(np.int64)
+            kvc = kvc_tbl.column("kvc").to_numpy()
         cur2 = labels[n2]
         tot_adj = tot[c2] - np.where(c2 == cur2, k_v[n2], 0.0)
         g2 = kvc - k_v[n2] * tot_adj / two_m
