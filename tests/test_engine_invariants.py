@@ -1,0 +1,95 @@
+"""Engine invariants: layout independence (1D vs 2D grid exchange) and
+property-based checks for the message-payload / hashing kernels."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ray_linkgraph.engine import RaggedCol
+from ray_linkgraph.graph import build_graph
+from ray_linkgraph.ops import texthash
+
+
+def test_pagerank_layout_independent(work_dir):
+    """Same graph, P=2 (1D exchange) vs P=4 (2x2 grid): identical ranks
+    up to float summation order."""
+    import os
+    edges = [(i, (i * 7 + 3) % 50) for i in range(50)] + \
+            [(i, (i + 1) % 50) for i in range(50)]
+    t = pa.table({"src": [str(a) for a, b in edges],
+                  "dst": [str(b) for a, b in edges]})
+    from ray_linkgraph.algorithms import pagerank
+    g2 = build_graph(rd.from_arrow(t), os.path.join(work_dir, "li_p2"),
+                     n_parts=2)
+    g4 = build_graph(rd.from_arrow(t), os.path.join(work_dir, "li_p4"),
+                     n_parts=4)
+    r2 = pagerank(g2, l1_threshold=0.0, max_supersteps=12).to_arrow() \
+        .to_pandas().sort_values("v_id")["rank"].to_numpy()
+    r4 = pagerank(g4, l1_threshold=0.0, max_supersteps=12).to_arrow() \
+        .to_pandas().sort_values("v_id")["rank"].to_numpy()
+    assert np.allclose(r2, r4, atol=1e-12, rtol=0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 10**12), max_size=6), max_size=20),
+       st.data())
+def test_raggedcol_gather_roundtrip(seqs, data):
+    rc = RaggedCol.from_lists(seqs)
+    assert len(rc) == len(seqs)
+    if seqs:
+        idx = data.draw(st.lists(
+            st.integers(0, len(seqs) - 1), max_size=30))
+        out = rc[np.array(idx, dtype=np.int64)] if idx else rc[0:0]
+        got = [out.flat[out.offsets[i]:out.offsets[i + 1]].tolist()
+               for i in range(len(out))]
+        assert got == [seqs[i] for i in idx]
+        # boolean mask gather
+        mask = data.draw(st.lists(st.booleans(), min_size=len(seqs),
+                                  max_size=len(seqs)))
+        out2 = rc[np.array(mask, dtype=bool)]
+        got2 = [out2.flat[out2.offsets[i]:out2.offsets[i + 1]].tolist()
+                for i in range(len(out2))]
+        assert got2 == [s for s, m in zip(seqs, mask) if m]
+    # concat roundtrip
+    rc2 = RaggedCol.concat([rc, rc])
+    assert len(rc2) == 2 * len(seqs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+def test_fingerprint_property_matches_fold(texts):
+    got = texthash.fingerprints(texts)
+    M = texthash.M31
+    for s, g in zip(texts, got):
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % M
+        assert int(g) == h
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=" abcdefgh\t\n", max_size=80),
+                min_size=1, max_size=6))
+def test_simhash_property_matches_fold(texts):
+    import re
+    got = texthash.simhashes(texts)
+    M = texthash.M31
+
+    def fold(s, b):
+        h = 0
+        for ch in s:
+            h = (h * b + ord(ch)) % M
+        return h
+
+    for s, g in zip(texts, got):
+        toks = [tk for tk in re.split(r"[\t\n\x0b\f\r ]+", s) if tk]
+        vals = [fold(tk, 131) * (1 << 31) + fold(tk, 137) for tk in toks]
+        exp = 0
+        for j in range(62):
+            v = sum(1 if (x >> j) & 1 else -1 for x in vals)
+            if v > 0:
+                exp |= 1 << j
+        assert int(g) == exp
