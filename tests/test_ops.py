@@ -319,3 +319,24 @@ def test_ivf_persisted_index(tmp_path):
     # pruned probe still finds the self-match
     got2 = loaded.search(q, k=3, nprobe=2).to_pandas()
     assert set(got2[got2["rank"] == 1]["vec_id"]) == {0, 1}
+
+
+def test_clean_corpus_pipeline():
+    from ray_linkgraph.ops.pipelines import clean_corpus
+    texts = [
+        BASE,                                  # good english
+        BASE.replace("lazy", "sleepy"),        # near-dup of BASE
+        BASE,                                  # exact dup of BASE
+        "the house and the dog of the cat is for the win with them as",
+        "der hund und die katze ist von den der die das und",   # german
+        "!!! ??? ...",                         # junk
+    ]
+    kept, audit = clean_corpus(docs_ds(texts), min_quality=0.5,
+                               min_tokens=5, langs=("en",),
+                               near_threshold=0.5)
+    ids = sorted(kept.to_pandas()["doc_id"])
+    assert audit["input_docs"] == 6
+    # german + junk dropped by filter; near+exact dups collapse to doc 0
+    assert audit["after_quality_lang"] == 4
+    assert ids == [0, 3]
+    assert audit["dropped_duplicates"] == 2
