@@ -11,6 +11,7 @@ from .betweenness import BetweennessProgram, betweenness_centrality
 from .rings import RingsProgram, rings_detection
 from .links import LinksProgram, links
 from .louvain import louvain_communities
+from .subgraph import SubGraphProgram, subgraph_match
 
 __all__ = [
     "PageRankProgram", "pagerank", "WccProgram", "wcc", "LpaProgram", "lpa",
@@ -21,4 +22,5 @@ __all__ = [
     "BetweennessProgram", "betweenness_centrality",
     "RingsProgram", "rings_detection",
     "LinksProgram", "links", "louvain_communities",
+    "SubGraphProgram", "subgraph_match",
 ]

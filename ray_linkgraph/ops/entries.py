@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from . import dedup, events, similarity, text, texthash
+from . import dedup, events, multimodal, pipelines, similarity, text, texthash  # noqa: F401 — imported at module scope so __ray_entry__'s by-value cloudpickle registration covers every worker-visible module
 
 EMB_NEARDUP_T = 0.45   # gate threshold (test embeddings max pair cos ~0.51)
 KNN_K = 5
