@@ -25,6 +25,26 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def _strip_schema_meta(t):
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_nm(paths, **kwargs):
+    """``ray.data.read_parquet`` that strips schema-level metadata.
+
+    Parquet written by pandas carries a ``b'pandas'`` schema-metadata
+    blob; pyarrow schemas with schema-level metadata are UNHASHABLE
+    (``hash(schema)`` -> "unhashable type: 'dict'"), which defeats Ray
+    Data's schema dedup at every reduce task ("Failed to hash the
+    schemas" log spam) and can block operator fusion.
+    ``replace_schema_metadata(None)`` is zero-copy; ``batch_size=None``
+    keeps whole blocks so the strip adds no re-batching cost.
+    """
+    import ray.data
+    return ray.data.read_parquet(paths, **kwargs).map_batches(
+        _strip_schema_meta, batch_format="pyarrow", batch_size=None)
+
+
 def hash_u64(*streams: "np.ndarray | int") -> np.ndarray:
     """Combine integer streams (broadcastable arrays / scalars) into one
     deterministic uint64 stream."""

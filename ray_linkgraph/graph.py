@@ -259,7 +259,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         # distinct graph_dir per input dataset (tpch/bench key dirs by
         # source path).
         import shutil
-        for sub in ("dict", "edges_out", "edges_both"):
+        for sub in ("dict", "edges_out", "edges_both", "edges_in"):
             shutil.rmtree(os.path.join(graph_dir, sub), ignore_errors=True)
         os.remove(os.path.join(graph_dir, "meta.json"))
     os.makedirs(os.path.join(graph_dir, "dict"), exist_ok=True)

@@ -62,7 +62,8 @@ def main(argv=None) -> int:
         pages_dir = args.pages
     else:
         ap.error("one of --pages / --generate is required")
-    pages = rd.read_parquet(pages_dir)
+    from ray_linkgraph._util import read_parquet_nm
+    pages = read_parquet_nm(pages_dir)
     n_parts = args.n_parts or max(
         2, int(ray.cluster_resources().get("CPU", 8)))
     g = build_graph(extract_links(pages),

@@ -83,7 +83,6 @@ def _dedup_pairs(pairs_ds):
         .aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
 
 
-from .._util import drop_empty_blocks as _nonempty_blocks  # noqa: E402
 
 
 def _pairs_table(pairs_ds) -> pa.Table:

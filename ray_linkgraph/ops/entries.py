@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .._util import read_parquet_nm
+
 from . import dedup, events, multimodal, pipelines, similarity, text, texthash  # noqa: F401 — imported at module scope so __ray_entry__'s by-value cloudpickle registration covers every worker-visible module
 
 EMB_NEARDUP_T = 0.45   # gate threshold (test embeddings max pair cos ~0.51)
@@ -24,17 +26,17 @@ US_GAP = 1_800_000_000
 
 
 def _docs(sf_dir):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+    return read_parquet_nm(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
 
 
 def _emb(sf_dir):
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_nm(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _events(sf_dir):
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                 columns=["user_id", "ts", "value"])
+    return read_parquet_nm(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "value"])
 
 
 # ---------------------------------------------------------------------------
@@ -102,30 +104,69 @@ def q_knn_brute(sf_dir):
         similarity.knn_brute(_emb(sf_dir), _query_matrix(sf_dir), k=KNN_K))
 
 
+MEDIA_N, MEDIA_SEED = 200, 11
+
+
+def media_fixture_path() -> str:
+    """Write-once deterministic BMP fixture parquet shared by the media
+    query AND its DuckDB oracle (the testdata has no media table; the
+    table is a pure function of (n, seed), so whichever side runs first
+    creates identical bytes). Atomic rename guards concurrent callers."""
+    import pyarrow.parquet as pq
+    path = f"/tmp/ray_linkgraph_cache/media_bmp_n{MEDIA_N}_s{MEDIA_SEED}.parquet"
+    if not os.path.exists(path):
+        from . import multimodal
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = multimodal.synthetic_media_table(MEDIA_N, seed=MEDIA_SEED,
+                                             media_type="bmp")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def q_media_decode(sf_dir):
-    """Real BMP decode through the actor-pool stage over a deterministic
-    synthetic media table (the testdata has no media table; input is a
-    pure function of the seed, independent of sf_dir). No SQL oracle —
-    image decoding is not SQL-expressible; the driver records the
-    rows-only check and pytest covers exact pixel roundtrips."""
+    """Real BMP decode through the actor-pool stage over the
+    deterministic media fixture (input independent of sf_dir). The gated
+    output is fully SQL-checkable: width/height come from the BMP header
+    (little-endian int32 at byte offsets 18/22), byte_size from
+    octet_length, and sum_r/sum_g are exact integer channel sums over
+    the DECODED pixels, which the oracle reproduces in closed form from
+    the generator's gradient (entries.py `_media_sql`) — a wrong
+    channel order, row padding or bottom-up flip in the decoder breaks
+    the match. Float pixel statistics stay pytest-covered."""
     from . import multimodal
-    t = multimodal.synthetic_media_table(200, seed=11, media_type="bmp")
-    out = multimodal.decode_media(ray.data.from_arrow(t), codec="image",
-                                  batch_size=32, concurrency=(1, 4))
+    ds = ray.data.read_parquet(media_fixture_path())
+    out = multimodal.decode_media(ds, codec="image", batch_size=32,
+                                  concurrency=(1, 4), channel_sums=True)
+    return out.select_columns(
+        ["media_id", "width", "height", "byte_size", "sum_r", "sum_g"])
 
-    def scalarize(b: pa.Table) -> pa.Table:
-        f = b.column("features").combine_chunks()
-        flat = f.flatten().to_numpy(zero_copy_only=False)
-        m = flat.reshape(len(b), -1)
-        return pa.table({
-            "media_id": b.column("media_id"),
-            "width": b.column("width"), "height": b.column("height"),
-            "mean_r": pa.array(np.round(m[:, 2].astype(np.float64), 4)),
-            "mean_g": pa.array(np.round(m[:, 3].astype(np.float64), 4)),
-            "mean_b": pa.array(np.round(m[:, 4].astype(np.float64), 4)),
-        })
 
-    return out.map_batches(scalarize, batch_format="pyarrow")
+def _media_sql() -> str:
+    """Width/height parsed from the BMP header blob via hex-string
+    slicing (this DuckDB has no BLOB subscript); sum_r/sum_g in closed
+    form from the deterministic gradient the fixture encodes:
+    r(x,y) = x*255 // (w-1), g(x,y) = y*255 // (h-1)."""
+    path = media_fixture_path()
+    # 1-based hex-char offset of byte k = 2*k + 1: width bytes 18..21,
+    # height bytes 22..25, little-endian -> reverse the pairs
+    w_hex = "||".join(f"substr(hx,{2 * k + 1},2)" for k in (21, 20, 19, 18))
+    h_hex = "||".join(f"substr(hx,{2 * k + 1},2)" for k in (25, 24, 23, 22))
+    return f"""
+WITH m AS (SELECT media_id, hex(payload) AS hx,
+                  CAST(octet_length(payload) AS BIGINT) AS byte_size
+           FROM read_parquet('{path}')),
+d AS (SELECT media_id, byte_size,
+             CAST(('0x' || {w_hex}) AS BIGINT) AS width,
+             CAST(('0x' || {h_hex}) AS BIGINT) AS height
+      FROM m)
+SELECT media_id, width, height, byte_size,
+  CAST(height * list_sum(list_transform(range(0, width),
+       x -> (x * 255) // (width - 1))) AS BIGINT) AS sum_r,
+  CAST(width * list_sum(list_transform(range(0, height),
+       y -> (y * 255) // (height - 1))) AS BIGINT) AS sum_g
+FROM d ORDER BY media_id"""
 
 
 def q_knn_ivf(sf_dir):
@@ -304,4 +345,5 @@ FROM x GROUP BY user_id ORDER BY user_id""",
         "embedding_neardup": _embedding_neardup_sql(),
         "knn_cosine_brute": _knn_sql(),
         "knn_cosine_ivf": _knn_sql(),
+        "media_decode_bmp": _media_sql(),
     }

@@ -165,7 +165,7 @@ def synthetic_media_table(n: int, seed: int = 42,
     return pa.table({
         "media_id": pa.array(ids),
         "payload": pa.array(payloads, type=pa.binary()),
-        "media_type": pa.array(["image"] * n),
+        "media_type": pa.array([media_type] * n),
         "byte_size": pa.array(np.asarray(sizes, dtype=np.int64)),
     })
 
@@ -180,9 +180,11 @@ class MediaDecoder:
     """
 
     def __init__(self, codec: str = "fake", feat_dim: int = 8,
-                 resize_to: tuple[int, int] | None = None):
+                 resize_to: tuple[int, int] | None = None,
+                 channel_sums: bool = False):
         self.feat_dim = feat_dim
         self.resize_to = resize_to
+        self.channel_sums = channel_sums
         if codec == "fake":
             self.decode = self._decode_fake
         elif codec == "image":
@@ -198,7 +200,7 @@ class MediaDecoder:
         px = decode_image(payload)
         if self.resize_to is not None:
             px = resize_nearest(px, *self.resize_to)
-        return px.shape[1], px.shape[0], image_features(px, self.feat_dim)
+        return px.shape[1], px.shape[0], image_features(px, self.feat_dim), px
 
     def _decode_fake(self, payload: bytes):
         u = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)
@@ -207,32 +209,49 @@ class MediaDecoder:
         hgt = int(16 + h[1] % np.uint64(112))
         feats = ((h[2:] >> np.uint64(11)).astype(np.float32)
                  / np.float32(1 << 53))
-        return w, hgt, feats
+        return w, hgt, feats, None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id")
         ws, hs, fs = [], [], []
+        sums = [[], [], []] if self.channel_sums else None
         for payload in batch.column("payload").to_pylist():
-            w, h, f = self.decode(payload)
+            w, h, f, px = self.decode(payload)
             ws.append(w)
             hs.append(h)
             fs.append(f)
-        return pa.table({
+            if sums is not None:
+                # exact integer channel sums from the DECODED pixels —
+                # SQL-checkable against the payload (entries.py media
+                # oracle), unlike the float32 means in `features`
+                for c in range(3):
+                    sums[c].append(
+                        int(px[:, :, c].sum(dtype=np.int64)) if px is not None
+                        else 0)
+        out = {
             "media_id": ids,
             "width": pa.array(ws, type=pa.int64()),
             "height": pa.array(hs, type=pa.int64()),
             "features": pa.array([f.tolist() for f in fs],
                                  type=pa.list_(pa.float32())),
-        })
+        }
+        if "byte_size" in batch.column_names:
+            out["byte_size"] = batch.column("byte_size")
+        if sums is not None:
+            for c, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                out[name] = pa.array(sums[c], type=pa.int64())
+        return pa.table(out)
 
 
 def decode_media(media_ds, codec: str = "fake", batch_size: int = 64,
-                 concurrency=(1, 4), feat_dim: int = 8):
+                 concurrency=(1, 4), feat_dim: int = 8,
+                 channel_sums: bool = False):
     """Small batch_size on purpose: wide binary rows — batch x
     concurrency must fit the worker heap (SURVEY.md memory notes)."""
     return media_ds.map_batches(
         MediaDecoder, fn_constructor_kwargs={"codec": codec,
-                                             "feat_dim": feat_dim},
+                                             "feat_dim": feat_dim,
+                                             "channel_sums": channel_sums},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

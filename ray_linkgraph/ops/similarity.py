@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .._util import hash_u64
+from .._util import hash_u64, read_parquet_nm
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
@@ -180,7 +180,7 @@ class IvfIndex:
             import pandas as _pd
             return ray.data.from_pandas(_pd.DataFrame(
                 {"query_idx": [], "vec_id": [], "sim": [], "rank": []}))
-        sub = ray.data.read_parquet(paths)
+        sub = read_parquet_nm(paths)
         qref = ray.put(q)
         partial = sub.map_batches(
             BatchTopK, fn_constructor_args=(qref, k, self.id_col,

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from ._util import read_parquet_nm
 from .graph import Graph, build_graph
 from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
                          triangle_count, clustering_coefficient, ppr,
@@ -86,8 +87,8 @@ def derive_edges_ds(sf_dir: str):
             "weight": pa.array(w),
         })
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                               columns=["o_orderkey", "o_custkey"])
+    ds = read_parquet_nm(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
@@ -594,7 +595,8 @@ lm{s + 1} AS MATERIALIZED (SELECT ew.dst AS cur, ew.w AS wl
     return f"""WITH {body},
 allsaves AS MATERIALIZED ({union})
 SELECT v.node, COALESCE(t.c, 0) AS n_paths
-FROM v LEFT JOIN (SELECT node, sum(c) AS c FROM allsaves GROUP BY node) t
+FROM v LEFT JOIN (SELECT node, CAST(sum(c) AS BIGINT) AS c
+                  FROM allsaves GROUP BY node) t
 ON t.node = v.node ORDER BY v.node"""
 
 

@@ -81,6 +81,12 @@ def main():
         if not status:
             for c in mine.columns:
                 a, b = mine[c].to_numpy(), theirs[c].to_numpy()
+                # the driver hashes typed values: an int64 engine column vs
+                # a HUGEINT->float64 oracle column mismatches even when every
+                # value is equal (round-2 links_k4) — flag dtype drift hard
+                if a.dtype != b.dtype:
+                    status.append(f"col {c} dtype {a.dtype} != {b.dtype}")
+                    continue
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     same = np.array_equal(a.astype(np.float64),
                                           b.astype(np.float64))
