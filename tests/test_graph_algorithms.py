@@ -392,3 +392,19 @@ def test_louvain_distributed_variant(built):
     assert res["community"].tolist() == exp
     # communities actually formed (fewer than V singletons)
     assert len(set(exp)) < g.V
+
+
+def test_louvain_join_route_parity(built):
+    """The billion-vertex join route (large_graph=True) must be
+    bit-identical to the broadcast route / naive oracle."""
+    from ray_linkgraph.algorithms.louvain import louvain_communities
+    g, _, _, edges = built
+    res = louvain_communities(g, max_rounds=10, large_graph=True,
+                              num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    both = edges | {(d, s) for s, d in edges}
+    und = [[] for _ in range(g.V)]
+    for s, d in both:
+        und[s].append((d, 1.0))
+    exp = naive_ref.naive_louvain_one_level(g.V, und, max_rounds=10)
+    assert res["community"].tolist() == exp

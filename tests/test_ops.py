@@ -340,3 +340,22 @@ def test_clean_corpus_pipeline():
     assert audit["after_quality_lang"] == 4
     assert ids == [0, 3]
     assert audit["dropped_duplicates"] == 2
+
+
+def test_clean_corpus_antijoin_path(monkeypatch):
+    """Force the distributed left_anti route (drop set over the
+    broadcast threshold) and require identical results."""
+    from ray_linkgraph.ops import pipelines
+    monkeypatch.setattr(pipelines, "BROADCAST_DROP_MAX", 0)
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        BASE,
+        "the house and the dog of the cat is for the win with them as",
+    ]
+    kept, audit = pipelines.clean_corpus(docs_ds(texts), min_quality=0.5,
+                                         min_tokens=5, langs=("en",),
+                                         near_threshold=0.5,
+                                         num_partitions=4)
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 3]
+    assert audit["dropped_duplicates"] == 2
