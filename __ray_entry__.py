@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": tpch.q_ppr,
         "closeness_k4": tpch.q_closeness,
         "betweenness_k5": tpch.q_betweenness,
+        "betweenness_s50": tpch.q_betweenness_sampled,
         "rings_k4": tpch.q_rings,
         "links_k4": tpch.q_links,
         "subgraph_diamond": tpch.q_subgraph,
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr": tpch.sql_ppr(),
         "closeness_k4": tpch.sql_closeness(),
         "betweenness_k5": tpch.sql_betweenness(),
+        "betweenness_s50": tpch.sql_betweenness_sampled(),
         "rings_k4": tpch.sql_rings(),
         "links_k4": tpch.sql_links(),
         "subgraph_diamond": tpch.sql_subgraph(),

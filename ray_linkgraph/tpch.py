@@ -536,6 +536,138 @@ SELECT v.node, ROUND(COALESCE(votes.b, 0.0), 6) AS betweenness
 FROM v LEFT JOIN votes ON votes.mid = v.node ORDER BY v.node"""
 
 
+# -- sampled betweenness: the 100-TB gate configuration --------------------
+# The engine's edge-sampling draw (betweenness.py:105-109) is
+# uniform01(seed, superstep, self_vid, tgt_vid) = splitmix64-chain
+# integer arithmetic (_util.hash_u64), replicated here bit-for-bit in
+# DuckDB HUGEINT mod-2^64 arithmetic. Draws only happen at supersteps 1
+# (2nd hop) and 2 (3rd hop); the seed/step prefix of the hash chain is
+# constant-folded in Python.
+
+BETWEENNESS_SAMPLE_RATE = 0.5
+BETWEENNESS_SAMPLE_SEED = 107
+
+_SM_M64 = 1 << 64
+_SM_G = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+
+
+def _sql_mm64(z: str, c: int) -> str:
+    """(z * c) mod 2^64 with the 32-bit-split multiply so every partial
+    product stays inside DuckDB's int128 HUGEINT."""
+    lo, hi = c % (1 << 32), c >> 32
+    return (f"(((({z} >> 32) * {lo} + ({z} % 4294967296) * {hi})"
+            f" % 4294967296) * 4294967296"
+            f" + ({z} % 4294967296) * {lo}) % {_SM_M64}")
+
+
+def _sql_smx(zexpr: str, p: str, src: str) -> str:
+    """Four MATERIALIZED CTEs computing splitmix64(zexpr) as column
+    ``{p}_out`` over table ``src`` (all prior columns carried).
+    Stepwise CTEs are load-bearing: macro/lateral-alias substitution
+    duplicates the argument expression exponentially and hangs the
+    DuckDB binder."""
+    return (
+        f"{p}a AS MATERIALIZED (SELECT *, (({zexpr}) + {_SM_G}) % {_SM_M64}"
+        f" AS {p}_z0 FROM {src}),\n"
+        f"{p}b AS MATERIALIZED (SELECT *, "
+        f"{_sql_mm64(f'xor({p}_z0, {p}_z0 >> 30)', _SM_C1)}"
+        f" AS {p}_z1 FROM {p}a),\n"
+        f"{p}c AS MATERIALIZED (SELECT *, "
+        f"{_sql_mm64(f'xor({p}_z1, {p}_z1 >> 27)', _SM_C2)}"
+        f" AS {p}_z2 FROM {p}b),\n"
+        f"{p}d AS MATERIALIZED (SELECT *, xor({p}_z2, {p}_z2 >> 31)"
+        f" AS {p}_out FROM {p}c)")
+
+
+def q_betweenness_sampled(sf_dir: str) -> pa.Table:
+    """betweenness with sample_rate=0.5 — the scale configuration (the
+    exhaustive path enumeration is combinatorial; sampling is the
+    reference's own pressure valve, BetweennessCentrality.java:46-89)."""
+    g = gate_graph(sf_dir)
+    res = betweenness_centrality(
+        g, sample_rate=BETWEENNESS_SAMPLE_RATE,
+        seed=BETWEENNESS_SAMPLE_SEED,
+        max_supersteps=BETWEENNESS_STEPS).to_arrow()
+    return _with_nodes(g, res, {"betweenness": ("betweenness", 6)})
+
+
+def sql_betweenness_sampled(rate: float = BETWEENNESS_SAMPLE_RATE,
+                            seed: int = BETWEENNESS_SAMPLE_SEED) -> str:
+    """sql_betweenness with every forwarded hop filtered by the same
+    counter-hash draw the engine makes: se1/se2 = the step-1/step-2
+    sampled edge sets. vid = 0-based numeric rank of the node id, which
+    equals the engine's dictionary encoding (BytesId (len,bytes) order
+    == numeric order for decimal strings, SURVEY.md §1.2)."""
+    from ._util import splitmix64
+
+    def sm(x: int) -> int:
+        return int(splitmix64(np.array([x], dtype=np.uint64))[0])
+
+    acc_seed = sm(seed)
+    step_const = {k: sm(acc_seed ^ ((sm(k) + _SM_G) % _SM_M64))
+                  for k in (1, 2)}
+    u01 = "CAST({h} >> 11 AS DOUBLE) / 9007199254740992.0"
+
+    se_ctes = []
+    for k in (1, 2):
+        se_ctes.append(_sql_smx(
+            f"xor({step_const[k]}::HUGEINT, (hs + {_SM_G}) % {_SM_M64})",
+            f"sx{k}", "eh"))
+        se_ctes.append(_sql_smx(
+            f"xor(sx{k}_out, (ht + {_SM_G}) % {_SM_M64})",
+            f"sy{k}", f"sx{k}d"))
+        se_ctes.append(
+            f"se{k} AS MATERIALIZED (SELECT src, dst FROM sy{k}d"
+            f" WHERE {u01.format(h=f'sy{k}_out')} < {rate!r})")
+    se_sql = ",\n".join(se_ctes)
+
+    return f"""WITH {SQL_BASE},
+vmap AS MATERIALIZED (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS vid FROM v),
+{_sql_smx('CAST(vid AS HUGEINT)', 'hv', 'vmap')},
+eh AS MATERIALIZED (
+  SELECT e.src, e.dst, s.hv_out AS hs, t.hv_out AS ht
+  FROM e JOIN hvd s ON s.node = e.src JOIN hvd t ON t.node = e.dst),
+{se_sql},
+bd1 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS t FROM e),
+bd2 AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS t FROM bd1 p JOIN se1 e ON e.src = p.t
+  WHERE e.dst != p.s
+    AND NOT EXISTS (SELECT 1 FROM bd1 x WHERE x.s = p.s AND x.t = e.dst)),
+bd3 AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS t FROM bd2 p JOIN se2 e ON e.src = p.t
+  WHERE e.dst != p.s
+    AND NOT EXISTS (SELECT 1 FROM bd1 x WHERE x.s = p.s AND x.t = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM bd2 x WHERE x.s = p.s AND x.t = e.dst)),
+q2 AS MATERIALIZED (
+  SELECT p.src AS s, p.dst AS m1, e.dst AS t
+  FROM e p JOIN se1 e ON e.src = p.dst
+  JOIN bd2 d ON d.s = p.src AND d.t = e.dst
+  WHERE e.dst != p.src AND e.dst != p.dst),
+q3 AS MATERIALIZED (
+  SELECT q2.s, q2.m1, q2.t AS m2, e.dst AS t
+  FROM q2 JOIN se2 e ON e.src = q2.t
+  JOIN bd3 d ON d.s = q2.s AND d.t = e.dst
+  WHERE e.dst != q2.s AND e.dst != q2.m1 AND e.dst != q2.t),
+tots AS MATERIALIZED (
+  SELECT s, t, 2 AS lvl, count(*) AS tot FROM q2 GROUP BY s, t
+  UNION ALL SELECT s, t, 3, count(*) FROM q3 GROUP BY s, t),
+votes AS MATERIALIZED (
+  SELECT mid, sum(CAST(c AS DOUBLE) / tot) AS b FROM (
+    SELECT q2.s, q2.t, 2 AS lvl, m1 AS mid, count(*) AS c
+    FROM q2 GROUP BY q2.s, q2.t, m1
+    UNION ALL
+    SELECT s, t, 3, mid, count(*) FROM (
+      SELECT s, t, m1 AS mid FROM q3
+      UNION ALL SELECT s, t, m2 FROM q3) GROUP BY s, t, mid
+  ) cm JOIN tots ON tots.s = cm.s AND tots.t = cm.t AND tots.lvl = cm.lvl
+  GROUP BY mid)
+SELECT v.node, ROUND(COALESCE(votes.b, 0.0), 6) AS betweenness
+FROM v LEFT JOIN votes ON votes.mid = v.node ORDER BY v.node"""
+
+
 def sql_rings() -> str:
     """Fixed-K (=4 supersteps) replica: directed rings of length 2 and 3
     recorded at their minimum vertex (rings.py docstring)."""

@@ -169,15 +169,20 @@ def naive_closeness(V, out_adj_w, max_steps=10):
     return clo, reach
 
 
-def naive_betweenness(V, out_adj, max_steps=6, store_perf=None):
-    """BetweennessCentrality.java:97-219 exactly (sample rate 1)."""
+def naive_betweenness(V, out_adj, max_steps=6, store_perf=None,
+                      sample_rate=1.0, seed=107):
+    """BetweennessCentrality.java:97-219 exactly (superstep-0 scatter
+    unsampled per :99-113; forwards drawn per edge with the engine's
+    uniform01(seed, step, self, tgt) counter hash)."""
+    import numpy as np
+    from ray_linkgraph._util import uniform01
     btw = [0.0] * V
     arrived = [{v} for v in range(V)]
     msgs = []
     for v in range(V):
         for t in out_adj[v]:
             msgs.append((t, 0.0, (v,)))
-    for _ in range(1, max_steps):
+    for step in range(1, max_steps):
         if not msgs:
             break
         byd = {}
@@ -203,7 +208,12 @@ def naive_betweenness(V, out_adj, max_steps=6, store_perf=None):
                     tc[1][m] = tc[1].get(m, 0) + 1
                 newseq = seq + (d,)
                 for t in out_adj[d]:
-                    if t not in newseq:
+                    if t not in newseq and (
+                            sample_rate >= 1.0 or
+                            float(uniform01(np.uint64(seed),
+                                            np.uint64(step),
+                                            np.uint64(d),
+                                            np.uint64(t))) < sample_rate):
                         nxt.append((t, 0.0, newseq))
             arrived[d] |= arriving
             for src, (total, idc) in seqtable.items():

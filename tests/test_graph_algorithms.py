@@ -291,6 +291,24 @@ def test_betweenness_vs_reference_semantics(built):
     assert max(exp) > 0
 
 
+def test_betweenness_sampled(built):
+    """sample_rate < 1 (the 100-TB gate configuration): engine draws
+    must replicate the naive per-edge uniform01 counter-hash draws."""
+    from ray_linkgraph.algorithms import betweenness_centrality
+    g, _, _, edges = built
+    res = betweenness_centrality(g, max_supersteps=5, sample_rate=0.5,
+                                 seed=107).to_arrow() \
+        .to_pandas().sort_values("v_id")
+    exp = naive_ref.naive_betweenness(g.V, adj_out(g.V, edges),
+                                      max_steps=5, sample_rate=0.5,
+                                      seed=107)
+    got = res["betweenness"].to_numpy()
+    assert np.allclose(got, exp, atol=1e-9)
+    full = naive_ref.naive_betweenness(g.V, adj_out(g.V, edges),
+                                       max_steps=5)
+    assert not np.allclose(got, full)   # sampling actually bit
+
+
 def test_betweenness_store_perf_cap(built):
     from ray_linkgraph.algorithms import betweenness_centrality
     g, _, _, edges = built
