@@ -244,6 +244,31 @@ class LinksProgram(VertexProgram):
         return {"n_paths": count, "paths": np.array(strs, dtype=object)}
 
 
+def links_from_config(graph: Graph, describe: str,
+                      node_map=None, **run_kw):
+    """Run Links from the reference's links.analyze_config JSON string
+    (Links.OPTION_ANALYZE_CONFIG, LinksConditionDescribe.java:33-60).
+
+    ``node_map``: optional vid->original-id array (tpch._node_map) to
+    translate ``start_vertexes`` (original ids) into engine v_ids; when
+    absent the start ids are taken as v_ids directly."""
+    from ..jobspec import parse_links_config
+    cfg = parse_links_config(describe)
+    starts = np.asarray([int(x) for x in cfg.start_vertexes],
+                        dtype=np.int64)
+    if node_map is not None:
+        nm = np.asarray(node_map)
+        pos = np.searchsorted(nm, starts)
+        if (pos >= len(nm)).any() or (nm[np.minimum(pos, len(nm) - 1)]
+                                      != starts).any():
+            raise ValueError("start vertex not present in the graph")
+        starts = pos
+    return links(graph, starts,
+                 spread=cfg.spread or "w_out >= w_in",
+                 end_edge=cfg.end_edge, end_vertex=cfg.end_vertex,
+                 **run_kw)
+
+
 def links(graph: Graph, start_nodes, spread: str = "w_out >= w_in",
           end_edge: str | None = None, end_vertex: str | None = None,
           max_supersteps: int = 5, checkpoint_dir: str | None = None,

@@ -247,6 +247,45 @@ def naive_rings(V, out_adj, max_steps=6):
     return rings
 
 
+def naive_filtered_rings(V, out_adj_w, max_steps=6, start_ok=None,
+                         vertex_ok=None, edge0_ok=None, edge_ok=None):
+    """RingsDetectionWithFilter.java:56-124 exactly. out_adj_w: per
+    vertex list of (target, weight). Predicates are python callables
+    (None = pass): start_ok(v), vertex_ok(v), edge0_ok(w) (superstep 0,
+    $in-free expressions only), edge_ok(w_out, w_in). No target>=self
+    pruning; rings record at their min vertex only."""
+    def yes(*_):
+        return True
+    start_ok = start_ok or yes
+    vertex_ok = vertex_ok or yes
+    edge0_ok = edge0_ok or yes
+    edge_ok = edge_ok or yes
+    rings = [[] for _ in range(V)]
+    msgs = []
+    for v in range(V):
+        if not start_ok(v):
+            continue
+        for t, w in out_adj_w[v]:
+            if edge0_ok(w):
+                msgs.append((t, (v,), w))
+    for _ in range(1, max_steps):
+        if not msgs:
+            break
+        nxt = []
+        for d, seq, win in msgs:
+            if not vertex_ok(d):
+                continue
+            if d == seq[0]:
+                if all(d <= x for x in seq):
+                    rings[d].append(seq + (d,))
+            elif d not in seq:
+                for t, w in out_adj_w[d]:
+                    if edge_ok(w, win):
+                        nxt.append((t, seq + (d,), w))
+        msgs = nxt
+    return rings
+
+
 def naive_links(V, out_adj_w, starts, spread, end_edge=None,
                 end_vertex=None, max_steps=5):
     """Links.java:53-129 exactly; predicates are python callables:
