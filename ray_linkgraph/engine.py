@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 
 import numpy as np
 import pyarrow as pa
@@ -911,6 +912,7 @@ class BSPEngine:
             "aggs": _jsonable(aggs),
             "done": done,
             "wall_s": wall_s,
+            "max_supersteps": self._run_max_supersteps,
             "msgs": {m["part"]: {"msgs_in": m["msgs_in"],
                                  "msgs_out": m["msgs_out"]} for m in metas},
         }
@@ -930,6 +932,7 @@ class BSPEngine:
             "aggs": pend["aggs"],
             "done": pend["done"],
             "wall_s": pend["wall_s"],
+            "max_supersteps": pend["max_supersteps"],
             "parts": {self._ck_part(i): {**pend["msgs"].get(
                           self._ck_part(i), {}),
                       "file": i["file"], "rows": i["rows"],
@@ -976,7 +979,30 @@ class BSPEngine:
                 f.writelines(keep)
 
     # -- main loop ----------------------------------------------------------
+    @staticmethod
+    def _check_resume_horizon(man: dict, max_supersteps: int):
+        """Checkpoint state depends on the run's horizon: programs that
+        read steps_remaining (betweenness/rings/links/closeness) skip
+        sends unobservable within the ORIGINAL max_supersteps, and
+        rescatter can only replay the pruned sends — resuming under a
+        different horizon silently diverges from a fresh run (ADVICE.md).
+        Manifests record max_supersteps; mismatch is refused."""
+        rec = man.get("max_supersteps")
+        if rec is None:       # pre-horizon manifest: can't verify
+            warnings.warn("checkpoint manifest predates horizon "
+                          "recording; resume assumes the original "
+                          "max_supersteps matched", stacklevel=3)
+            return
+        if rec != max_supersteps:
+            raise ValueError(
+                f"cannot resume a max_supersteps={rec} checkpoint with "
+                f"max_supersteps={max_supersteps}: horizon-gated sends "
+                f"were pruned for the original horizon and cannot be "
+                f"replayed (rerun with max_supersteps={rec} or start "
+                f"fresh)")
+
     def run(self, max_supersteps: int = 10, resume: bool = False) -> BSPResult:
+        self._run_max_supersteps = max_supersteps
         if self.grid is not None:
             return self._run_grid(max_supersteps, resume)
         P = self.graph.P
@@ -987,6 +1013,7 @@ class BSPEngine:
             found = self.latest_checkpoint()
             if found:
                 s_ck, man = found
+                self._check_resume_horizon(man, max_supersteps)
                 ray.get([a.load_checkpoint.remote(self.ckpt_dir, s_ck)
                          for a in self.actors])
                 g = man["globals_next"]
@@ -1052,6 +1079,7 @@ class BSPEngine:
             found = self.latest_checkpoint()
             if found:
                 s_ck, man = found
+                self._check_resume_horizon(man, max_supersteps)
                 ray.get([a.load_checkpoint.remote(self.ckpt_dir, s_ck)
                          for a in self.actors])
                 g = man["globals_next"]

@@ -17,6 +17,8 @@ Allowed names: the variables the caller binds (e.g. ``node``, ``w_out``,
 
 from __future__ import annotations
 
+import ast
+
 import numpy as np
 
 _ALLOWED_FUNCS = {
@@ -26,16 +28,41 @@ _ALLOWED_FUNCS = {
 }
 
 
+def _validate(expression: str) -> None:
+    """Reject attribute access, dunder names, lambdas/comprehensions and
+    calls to anything but the allowed numpy subset — containment beyond
+    the empty __builtins__ env (attribute traversal on bound arrays
+    would otherwise escape it, ADVICE.md). Plain names stay open: they
+    are the caller-bound columns, unknown at compile time."""
+    for node in ast.walk(ast.parse(expression, mode="eval")):
+        if isinstance(node, ast.Attribute):
+            raise ValueError(
+                f"attribute access not allowed in predicate: "
+                f"{ast.unparse(node)!r}")
+        if isinstance(node, (ast.Lambda, ast.ListComp, ast.SetComp,
+                             ast.DictComp, ast.GeneratorExp,
+                             ast.NamedExpr, ast.Await)):
+            raise ValueError(
+                f"{type(node).__name__} not allowed in predicate")
+        if isinstance(node, ast.Name):
+            if "__" in node.id:
+                raise ValueError(f"disallowed name {node.id!r}")
+        if isinstance(node, ast.Call):
+            if not (isinstance(node.func, ast.Name)
+                    and node.func.id in _ALLOWED_FUNCS):
+                raise ValueError(
+                    f"only {sorted(_ALLOWED_FUNCS)} are callable; got "
+                    f"{ast.unparse(node.func)!r}")
+
+
 class Predicate:
     """A compiled vectorized boolean expression over named columns."""
 
     def __init__(self, expression: str):
         self.expression = expression
+        _validate(expression)
         # compile once; mode eval forbids statements/imports
         self._code = compile(expression, "<predicate>", "eval")
-        for name in self._code.co_names:
-            if name not in _ALLOWED_FUNCS and not name.isidentifier():
-                raise ValueError(f"disallowed name {name!r}")
 
     def __call__(self, **cols) -> np.ndarray:
         env = {"__builtins__": {}}

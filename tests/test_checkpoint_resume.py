@@ -131,3 +131,19 @@ def test_rings_resume_bitexact(graph, work_dir):
     got = res.to_arrow().to_pandas().sort_values("v_id")
     assert got["ring_count"].tolist() == exp["ring_count"].tolist()
     assert got["rings"].tolist() == exp["rings"].tolist()
+
+
+def test_resume_refuses_horizon_mismatch(graph, work_dir):
+    """Manifests record max_supersteps; resuming under a different
+    horizon would silently under/over-compute horizon-gated sends
+    (ADVICE.md) and is refused."""
+    from ray_linkgraph.algorithms import rings_detection
+    ck = os.path.join(work_dir, "ck_rings_horizon")
+    rings_detection(graph, max_supersteps=5, checkpoint_dir=ck)
+    _truncate(ck, 2)
+    with pytest.raises(ValueError, match="max_supersteps"):
+        rings_detection(graph, max_supersteps=7, checkpoint_dir=ck,
+                        resume=True)
+    # same horizon still resumes fine
+    rings_detection(graph, max_supersteps=5, checkpoint_dir=ck,
+                    resume=True)
