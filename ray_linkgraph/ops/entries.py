@@ -175,20 +175,43 @@ def q_knn_ivf(sf_dir):
                            n_centroids=8, nprobe=8))  # nprobe=all: exact
 
 
+def q_clean_corpus(sf_dir):
+    """Composed flagship pipeline: quality/token/language filter →
+    MinHash near-dup dedup keeping cluster representatives. The gated
+    output is the kept corpus itself (doc_id + text pass-through);
+    the per-stage audit counts are pytest-covered."""
+    kept, _audit = pipelines.clean_corpus(_docs(sf_dir))
+    return kept.select_columns(["doc_id", "text"])
+
+
 # ---------------------------------------------------------------------------
 
-def _langid_sql():
+def _langid_exprs():
+    """(CASE expression predicting the language, stop-hit max expr) —
+    shared by the langid oracle and the composed clean_corpus oracle."""
     pats = {lang: r"\b(" + "|".join(ws) + r")\b"
             for lang, ws in text.STOPWORDS.items()}
     h = {lang: f"CAST(len(regexp_extract_all(lower(text), '{p}')) AS BIGINT)"
          for lang, p in pats.items()}
-    return f"""
-SELECT doc_id,
-  CASE WHEN {h['en']} > 0 AND {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} THEN 'en'
+    case = f"""CASE WHEN {h['en']} > 0 AND {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} THEN 'en'
        WHEN {h['de']} > 0 AND {h['de']} > {h['en']} AND {h['de']} >= {h['fr']} THEN 'de'
        WHEN {h['fr']} > 0 AND {h['fr']} > {h['en']} AND {h['fr']} > {h['de']} THEN 'fr'
-       ELSE 'und' END AS lang_pred,
-  greatest({h['en']}, {h['de']}, {h['fr']}) AS stop_hits
+       ELSE 'und' END"""
+    return case, f"greatest({h['en']}, {h['de']}, {h['fr']})"
+
+
+_QUALITY_EXPR = r"""ROUND((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / greatest(length(text), 1))
+             * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                      / greatest(length(text), 1)), 10)"""
+
+
+def _langid_sql():
+    case, hits = _langid_exprs()
+    return f"""
+SELECT doc_id,
+  {case} AS lang_pred,
+  {hits} AS stop_hits
 FROM documents ORDER BY doc_id"""
 
 
@@ -200,12 +223,12 @@ FROM {table} t LEFT JOIN {labels_cte} l ON l.node = t.{id_col}
 ORDER BY t.{id_col}"""
 
 
-def _minhash_sql(threshold: float = 0.8, cc_rounds: int = 20) -> str:
-    """Full MinHash+LSH replica: band hashes (bit-identical texthash
-    CTEs) -> band-collision candidate pairs -> exact shingle-set Jaccard
-    verify -> iterated min-label connected components."""
+def _minhash_cc_ctes(threshold: float, cc_rounds: int) -> str:
+    """Band-collision candidate pairs -> exact shingle-set Jaccard
+    verify -> iterated min-label connected components (emits
+    cl{cc_rounds}). Assumes texthash.sql_minhash_ctes' tables (bands,
+    shl) are in scope."""
     return f"""
-WITH {texthash.sql_minhash_ctes()},
 cp AS MATERIALIZED (
   SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
   FROM bands b1 JOIN bands b2
@@ -218,8 +241,40 @@ vp AS MATERIALIZED (
         / (len(sa.shingles) + len(sb.shingles)
            - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}),
 vn AS MATERIALIZED (SELECT a AS node FROM vp UNION SELECT b FROM vp),
-{texthash.sql_minlabel_ctes("vp", "vn", rounds=cc_rounds)}
+{texthash.sql_minlabel_ctes("vp", "vn", rounds=cc_rounds)}"""
+
+
+def _minhash_sql(threshold: float = 0.8, cc_rounds: int = 20) -> str:
+    """Full MinHash+LSH replica: band hashes (bit-identical texthash
+    CTEs) -> band-collision candidate pairs -> exact shingle-set Jaccard
+    verify -> iterated min-label connected components."""
+    return f"""
+WITH {texthash.sql_minhash_ctes()},
+{_minhash_cc_ctes(threshold, cc_rounds)}
 {_cluster_select(f"cl{cc_rounds}", "documents", "doc_id")}"""
+
+
+def _clean_corpus_sql(min_quality: float = 0.5, min_tokens: int = 5,
+                      langs: tuple = ("en",), near_threshold: float = 0.8,
+                      cc_rounds: int = 20) -> str:
+    """Composed clean-corpus replica: quality/token/language filter
+    (same expressions as the individually-gated text_quality / langid
+    oracles) -> MinHash+LSH near-dup over the FILTERED subset -> keep
+    only cluster representatives (min doc_id per cluster)."""
+    case, _hits = _langid_exprs()
+    langs_sql = ",".join(f"'{l}'" for l in langs)
+    return rf"""
+WITH filt AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE {_QUALITY_EXPR} >= {min_quality}
+    AND CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) >= {min_tokens}
+    AND ({case}) IN ({langs_sql})),
+{texthash.sql_minhash_ctes("filt")},
+{_minhash_cc_ctes(near_threshold, cc_rounds)}
+SELECT f.doc_id, f.text
+FROM filt f LEFT JOIN cl{cc_rounds} l ON l.node = f.doc_id
+WHERE COALESCE(l.lab, f.doc_id) = f.doc_id
+ORDER BY f.doc_id"""
 
 
 def _simhash_sql(max_hamming: int = 3, cc_rounds: int = 20) -> str:
@@ -298,6 +353,7 @@ def queries():
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_ivf": q_knn_ivf,
         "media_decode_bmp": q_media_decode,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -346,4 +402,5 @@ FROM x GROUP BY user_id ORDER BY user_id""",
         "knn_cosine_brute": _knn_sql(),
         "knn_cosine_ivf": _knn_sql(),
         "media_decode_bmp": _media_sql(),
+        "clean_corpus": _clean_corpus_sql(),
     }
