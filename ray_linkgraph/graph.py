@@ -230,10 +230,14 @@ class Graph:
 # build
 # ---------------------------------------------------------------------------
 
+PROPERTIES_MERGE_POLICIES = ("min", "max", "sum", "mean")
+
+
 def build_graph(edges_ds, graph_dir: str, n_parts: int,
                 extra_url_ds=None, weight_col: str | None = None,
                 n_buckets: int | None = None,
-                limit_edges_per_vertex: int | None = None) -> Graph:
+                limit_edges_per_vertex: int | None = None,
+                properties_merge: str = "min") -> Graph:
     """edges_ds: Dataset(src:string, dst:string[, weight]) -> on-disk Graph.
 
     Vertex set = {src} ∪ {dst} ∪ extra_url_ds (e.g. all page urls, so
@@ -245,13 +249,29 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     :186-194); the reference truncates in load order, ours keeps the K
     smallest dst ids (deterministic Id-order truncation, documented
     deviation).
+
+    ``properties_merge`` is the per-job analog of the reference's
+    edge-properties combiner override (``worker.edge_properties_
+    combiner_class``, ComputerOptions.java; PropertiesCombiner.java with
+    MergeOld/MergeNewPropertiesCombiner variants): how the weight
+    property is merged when duplicate (src, dst) edges collide at load.
+    The reference's old/new variants resolve by LOAD ORDER, which is
+    nondeterministic under parallel ingest; ours exposes the
+    deterministic lattice policies "min" (default) | "max" | "sum" |
+    "mean" instead (documented deviation — same configuration point,
+    order-independent semantics).
     """
+    if properties_merge not in PROPERTIES_MERGE_POLICIES:
+        raise ValueError(f"properties_merge must be one of "
+                         f"{PROPERTIES_MERGE_POLICIES}, got "
+                         f"{properties_merge!r}")
     if os.path.exists(os.path.join(graph_dir, "meta.json")):
         g = Graph.load(graph_dir)
         if g.meta["P"] == n_parts and \
                 g.meta.get("weight_col") == weight_col and \
                 g.meta.get("limit_edges_per_vertex") == \
-                limit_edges_per_vertex:
+                limit_edges_per_vertex and \
+                g.meta.get("properties_merge", "min") == properties_merge:
             return g
         # build parameters differ: wipe stale artifacts so partitions
         # empty under the new layout can't keep old part files
@@ -425,7 +445,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
 
     n_edges = _write_partition_files(
         enc.map_batches(prep, batch_format="pyarrow"), e_dir, weight_col,
-        limit_edges_per_vertex)
+        limit_edges_per_vertex, properties_merge)
 
     meta = {
         "V": V,
@@ -436,6 +456,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         "boundaries_hex": [b.hex() for b in boundaries],
         "weight_col": weight_col,
         "limit_edges_per_vertex": limit_edges_per_vertex,
+        "properties_merge": properties_merge,
         "edge_counts": {"out": n_edges},
     }
     g = Graph(graph_dir, meta)
@@ -444,13 +465,18 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
 
 
 def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None,
-                           limit_per_vertex: int | None = None) -> int:
+                           limit_per_vertex: int | None = None,
+                           properties_merge: str = "min") -> int:
     """groupby(part) -> per-partition sorted+deduped parquet; returns total
-    edge count after dedup. Dedup keeps min weight per (src,dst) when a
-    weight column exists (deterministic; SQL oracles replicate). The
-    optional degree cap keeps the first ``limit_per_vertex`` edges per
-    src in (src, dst) order."""
+    edge count after dedup. Dedup merges the weight per (src,dst) with
+    the ``properties_merge`` policy (min default — deterministic; SQL
+    oracles replicate) when a weight column exists. The optional degree
+    cap keeps the first ``limit_per_vertex`` edges per src in
+    (src, dst) order."""
     os.makedirs(out_dir, exist_ok=True)
+    merge_agg = {"min": pl.col("weight").min, "max": pl.col("weight").max,
+                 "sum": pl.col("weight").sum, "mean": pl.col("weight").mean,
+                 }[properties_merge]
 
     def write_part(df: pd.DataFrame) -> pd.DataFrame:
         p = int(df["part"].iloc[0])
@@ -461,7 +487,7 @@ def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None,
                if weight_col else {}),
         })
         if weight_col:
-            lf = (lf.group_by(["src_id", "dst_id"]).agg(pl.col("weight").min())
+            lf = (lf.group_by(["src_id", "dst_id"]).agg(merge_agg())
                     .sort(["src_id", "dst_id"]))
         else:
             lf = lf.unique().sort(["src_id", "dst_id"])
@@ -500,7 +526,9 @@ def _build_in_mode(g: Graph):
     if files:
         ds = ray.data.read_parquet(files, columns=cols)
         n = _write_partition_files(ds.map_batches(rev, batch_format="pyarrow"),
-                                   out_dir, "weight" if has_w else None)
+                                   out_dir, "weight" if has_w else None,
+                                   properties_merge=g.meta.get(
+                                       "properties_merge", "min"))
     else:
         os.makedirs(out_dir, exist_ok=True)
         n = 0
@@ -541,7 +569,9 @@ def _build_both_mode(g: Graph):
     if files:
         ds = ray.data.read_parquet(files, columns=cols)
         n = _write_partition_files(ds.map_batches(sym, batch_format="pyarrow"),
-                                   out_dir, "weight" if has_w else None)
+                                   out_dir, "weight" if has_w else None,
+                                   properties_merge=g.meta.get(
+                                       "properties_merge", "min"))
     else:
         os.makedirs(out_dir, exist_ok=True)
         n = 0

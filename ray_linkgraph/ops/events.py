@@ -47,17 +47,52 @@ def window_agg(events_ds, width_s: int = 3600):
 
 def sessionize(events_ds, gap_s: int = 1800):
     """-> Dataset(user_id, n_sessions, n_events): sessions split when the
-    gap between consecutive events of a user exceeds gap_s."""
+    gap between consecutive events of a user exceeds gap_s.
+
+    Scale path: global sort by (user_id, ts), then a VECTORIZED
+    run-compression kernel per block — one numpy pass emits one partial
+    row per (user, block) with (first_ts, last_ts, n, inner_breaks).
+    The heavy event data is never touched by per-group Python; only the
+    O(users) partials table goes through map_groups, where each group
+    merges its ≤ #blocks partial rows (sorted by first_ts, counting
+    block-boundary gaps)."""
     gap_us = gap_s * US_PER_S
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(df["ts"].to_numpy().astype("datetime64[us]")
-                     .astype(np.int64))
-        breaks = int((np.diff(ts) > gap_us).sum()) if len(ts) > 1 else 0
+    def block_partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "inner": pa.array([], pa.int64())})
+        same = uid[1:] == uid[:-1]
+        starts = np.r_[0, np.flatnonzero(~same) + 1]
+        ends = np.r_[starts[1:], n]
+        brk = ((ts[1:] - ts[:-1] > gap_us) & same).astype(np.int64)
+        cum = np.r_[0, np.cumsum(brk)]
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "first_ts": pa.array(ts[starts]),
+            "last_ts": pa.array(ts[ends - 1]),
+            "n": pa.array(ends - starts),
+            "inner": pa.array(cum[ends - 1] - cum[starts]),
+        })
+
+    partials = (events_ds.select_columns(["user_id", "ts"])
+                .sort(["user_id", "ts"])
+                .map_batches(block_partials, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("first_ts")
+        ft, lt = df["first_ts"].to_numpy(), df["last_ts"].to_numpy()
+        breaks = int(df["inner"].sum()) + int((ft[1:] - lt[:-1] > gap_us).sum())
         return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
                              "n_sessions": [breaks + 1],
-                             "n_events": [len(ts)]})
+                             "n_events": [int(df["n"].sum())]})
 
-    return (events_ds.select_columns(["user_id", "ts"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+    return (partials.groupby("user_id")
+            .map_groups(merge, batch_format="pandas")
+            .select_columns(["user_id", "n_sessions", "n_events"]))

@@ -2,6 +2,8 @@
 events, multimodal plumbing) against constructed inputs with known
 answers and numpy oracles."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -271,6 +273,36 @@ def test_degree_cap_build(tmp_path):
     # kept = 3 smallest dst ids of vertex "0" (Id order == numeric here)
     v0 = got[g.V - g.V + 0] if 0 in got else got[min(got)]
     assert len(v0) == 3
+
+
+def test_properties_merge_policies(tmp_path):
+    """Per-job edge-properties merge override (the reference's
+    PropertiesCombiner config point): duplicate (src,dst) edges with
+    different weights merge per the chosen deterministic policy."""
+    import pyarrow.parquet as pq_
+    from ray_linkgraph.graph import build_graph
+    t = pa.table({"src": ["a", "a", "a", "b"],
+                  "dst": ["b", "b", "c", "c"],
+                  "w": [3.0, 1.0, 5.0, 2.0]})
+    expect = {"min": 1.0, "max": 3.0, "sum": 4.0, "mean": 2.0}
+    for policy, ab in expect.items():
+        g = build_graph(rd.from_arrow(t), str(tmp_path / f"g_{policy}"),
+                        n_parts=2, weight_col="w", properties_merge=policy)
+        got = {}
+        for p in range(2):
+            path = g.edges_path("out", p)
+            if os.path.exists(path):
+                tt = pq_.read_table(path)
+                for s, d, w in zip(tt.column("src_id").to_pylist(),
+                                   tt.column("dst_id").to_pylist(),
+                                   tt.column("weight").to_pylist()):
+                    got[(s, d)] = w
+        # ids are rank in Id order: a=0, b=1, c=2
+        assert got[(0, 1)] == ab and got[(0, 2)] == 5.0 and got[(1, 2)] == 2.0
+        assert g.meta["properties_merge"] == policy
+    with pytest.raises(ValueError):
+        build_graph(rd.from_arrow(t), str(tmp_path / "g_bad"), n_parts=2,
+                    weight_col="w", properties_merge="first")
 
 
 def test_bmp_ppm_roundtrip_and_image_codec():
