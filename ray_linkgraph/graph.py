@@ -294,9 +294,19 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     # (hundreds of tiny blocks from splitty readers) are coalesced: every
     # downstream shuffle pays per-block task overhead (measured 6x on
     # the dictionary groupby at 267 blocks vs 32).
+    import time as _time
+    _stage_t0, _stages = _time.monotonic(), {}
+
+    def _mark(name):
+        nonlocal _stage_t0
+        now = _time.monotonic()
+        _stages[name] = round(now - _stage_t0, 3)
+        _stage_t0 = now
+
     edges_ds = edges_ds.materialize()
     if edges_ds.num_blocks() > 4 * n_parts:
         edges_ds = edges_ds.repartition(2 * n_parts).materialize()
+    _mark("ingest_materialize")
 
     # ---- 1. vertex url stream (per-batch local dedup to shrink) ----------
     def batch_urls(cols):
@@ -314,6 +324,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     urls_ds = urls_ds.materialize()   # consumed by sample AND dict build
     if urls_ds.num_blocks() > 4 * n_buckets:
         urls_ds = urls_ds.repartition(2 * n_buckets).materialize()
+    _mark("url_stream")
 
     # ---- 2. range-bucket boundaries from a deterministic sample ----------
     def sample_fn(batch: pa.Table) -> pa.Table:
@@ -332,6 +343,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         boundaries = keys  # tiny data: fewer effective buckets
     boundaries_arr = np.array(boundaries, dtype=object)
     nb = len(boundaries) + 1
+    _mark("boundary_sample")
 
     def assign_bucket_url(batch: pa.Table) -> pa.Table:
         b = _assign_buckets(batch.column("url"), boundaries)
@@ -370,6 +382,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     for b in range(1, nb):
         offsets[b] = offsets[b - 1] + counts[b - 1]
     V = int(offsets[-1] + counts[nb - 1])
+    _mark("dict_build")
 
     # ---- 4. encode edges ---------------------------------------------------
     # Small dictionaries are BROADCAST (ray.put once, polars hash join
@@ -446,6 +459,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     n_edges = _write_partition_files(
         enc.map_batches(prep, batch_format="pyarrow"), e_dir, weight_col,
         limit_edges_per_vertex, properties_merge)
+    _mark("encode_partition_write")
 
     meta = {
         "V": V,
@@ -458,6 +472,7 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         "limit_edges_per_vertex": limit_edges_per_vertex,
         "properties_merge": properties_merge,
         "edge_counts": {"out": n_edges},
+        "build_stage_secs": _stages,
     }
     g = Graph(graph_dir, meta)
     g.save_meta()
