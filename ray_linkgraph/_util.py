@@ -37,12 +37,25 @@ def read_parquet_nm(paths, **kwargs):
     (``hash(schema)`` -> "unhashable type: 'dict'"), which defeats Ray
     Data's schema dedup at every reduce task ("Failed to hash the
     schemas" log spam) and can block operator fusion.
-    ``replace_schema_metadata(None)`` is zero-copy; ``batch_size=None``
-    keeps whole blocks so the strip adds no re-batching cost.
+
+    The strip happens AT THE SOURCE: an explicit metadata-free
+    ``schema=`` makes the read stage itself emit clean blocks (a
+    downstream strip map still leaves the warning firing inside the
+    fused ReadParquet stage). Falls back to the post-read strip map if
+    the schema can't be derived up front.
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
-    return ray.data.read_parquet(paths, **kwargs).map_batches(
-        _strip_schema_meta, batch_format="pyarrow", batch_size=None)
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        full = pq.read_schema(first).remove_metadata()
+        cols = kwargs.get("columns")
+        schema = pa.schema([full.field(c) for c in cols]) if cols else full
+        return ray.data.read_parquet(paths, schema=schema, **kwargs)
+    except Exception:
+        return ray.data.read_parquet(paths, **kwargs).map_batches(
+            _strip_schema_meta, batch_format="pyarrow", batch_size=None)
 
 
 def hash_u64(*streams: "np.ndarray | int") -> np.ndarray:
