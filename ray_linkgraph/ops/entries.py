@@ -107,18 +107,20 @@ def q_knn_brute(sf_dir):
 MEDIA_N, MEDIA_SEED = 200, 11
 
 
-def media_fixture_path() -> str:
-    """Write-once deterministic BMP fixture parquet shared by the media
-    query AND its DuckDB oracle (the testdata has no media table; the
-    table is a pure function of (n, seed), so whichever side runs first
-    creates identical bytes). Atomic rename guards concurrent callers."""
+def media_fixture_path(kind: str = "bmp") -> str:
+    """Write-once deterministic media fixture parquet shared by the
+    media query AND its DuckDB oracle (the testdata has no media table;
+    the table is a pure function of (n, seed), so whichever side runs
+    first creates identical bytes). Atomic rename guards concurrent
+    callers."""
     import pyarrow.parquet as pq
-    path = f"/tmp/ray_linkgraph_cache/media_bmp_n{MEDIA_N}_s{MEDIA_SEED}.parquet"
+    path = (f"/tmp/ray_linkgraph_cache/"
+            f"media_{kind}_n{MEDIA_N}_s{MEDIA_SEED}.parquet")
     if not os.path.exists(path):
         from . import multimodal
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = multimodal.synthetic_media_table(MEDIA_N, seed=MEDIA_SEED,
-                                             media_type="bmp")
+                                             media_type=kind)
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
@@ -166,6 +168,56 @@ SELECT media_id, width, height, byte_size,
        x -> (x * 255) // (width - 1))) AS BIGINT) AS sum_r,
   CAST(width * list_sum(list_transform(range(0, height),
        y -> (y * 255) // (height - 1))) AS BIGINT) AS sum_g
+FROM d ORDER BY media_id"""
+
+
+def q_media_decode_wav(sf_dir):
+    """Real RIFF/WAVE 16-bit PCM decode through the actor-pool stage.
+    Gated output: header fields (n_samples, sample_rate) plus the exact
+    integer sum of the DECODED channel-0 samples — the oracle
+    independently re-decodes the PCM int16 stream from the payload blob
+    in SQL (hex slicing), so a wrong byte order, chunk walk or sign
+    convention breaks the match."""
+    from . import multimodal
+    ds = ray.data.read_parquet(media_fixture_path("wav"))
+    out = multimodal.decode_media(ds, codec="audio", batch_size=32,
+                                  concurrency=(1, 4), channel_sums=True)
+    return out.select_columns(
+        ["media_id", "n_samples", "sample_rate", "byte_size", "sum_ch0"])
+
+
+def _media_wav_sql() -> str:
+    """Independent SQL WAV decoder over the fixture blob: header ints
+    from the canonical single fmt+data layout (ch @22, rate @24,
+    data_size @40, PCM @44), then the signed-int16 sample sum via
+    hex-sliced little-endian pairs."""
+    path = media_fixture_path("wav")
+
+    def le(off, nbytes):                      # 1-based hex-char slicing
+        return ("'0x' || " + " || ".join(
+            f"substr(hx,{2 * k + 1},2)"
+            for k in range(off + nbytes - 1, off - 1, -1)))
+
+    return f"""
+WITH m AS (SELECT media_id, hex(payload) AS hx,
+                  CAST(octet_length(payload) AS BIGINT) AS byte_size
+           FROM read_parquet('{path}')),
+h AS (SELECT media_id, byte_size, hx,
+             CAST(({le(22, 2)}) AS BIGINT) AS ch,
+             CAST(({le(24, 4)}) AS BIGINT) AS sample_rate,
+             CAST(({le(40, 4)}) AS BIGINT) AS data_size
+      FROM m),
+d AS (SELECT media_id, byte_size, sample_rate, ch, hx,
+             data_size // (2 * ch) AS n_samples
+      FROM h)
+SELECT media_id, n_samples, sample_rate, byte_size,
+  CAST(list_sum(list_transform(
+    list_transform(range(0, n_samples),
+      k -> CAST(('0x' || substr(hx, 2 * (44 + 2 * k * ch) + 3, 2)
+                       || substr(hx, 2 * (44 + 2 * k * ch) + 1, 2))
+                AS BIGINT)),
+    v -> v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END)) AS BIGINT)
+    AS sum_ch0
 FROM d ORDER BY media_id"""
 
 
@@ -353,6 +405,7 @@ def queries():
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_ivf": q_knn_ivf,
         "media_decode_bmp": q_media_decode,
+        "media_decode_wav": q_media_decode_wav,
         "clean_corpus": q_clean_corpus,
     }
 
@@ -402,5 +455,6 @@ FROM x GROUP BY user_id ORDER BY user_id""",
         "knn_cosine_brute": _knn_sql(),
         "knn_cosine_ivf": _knn_sql(),
         "media_decode_bmp": _media_sql(),
+        "media_decode_wav": _media_wav_sql(),
         "clean_corpus": _clean_corpus_sql(),
     }

@@ -105,6 +105,78 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError("unrecognized image payload")
 
 
+# ---------------------------------------------------------------------------
+# real audio codec: WAV (RIFF, 16-bit PCM)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 samples (n,) or (n, ch) -> canonical RIFF/WAVE (16-bit PCM,
+    single fmt + data chunk layout; data at byte offset 44)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                   sample_rate * ch * 2, ch * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit PCM -> (int16 samples (n, ch), sample_rate).
+    Walks the chunk list, so extra chunks (LIST/INFO...) are fine."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = payload[pos + 8:pos + 8 + sz]
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)                     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, sr, _, _, bps = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bps != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (fmt={audio_fmt}, bits={bps}); "
+            f"compressed audio would require soundfile/librosa")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, ch), int(sr)
+
+
+def audio_features(samples: np.ndarray, sr: int,
+                   feat_dim: int = 8) -> np.ndarray:
+    """Deterministic per-clip statistics: n_samples, rate, mean, rms,
+    peak, zero-crossing count (channel 0), min, max."""
+    x = samples.astype(np.float64)
+    c0 = x[:, 0]
+    f = np.array([samples.shape[0], sr, x.mean(),
+                  np.sqrt((x * x).mean()), np.abs(x).max(),
+                  float((np.signbit(c0[1:]) != np.signbit(c0[:-1])).sum()),
+                  x.min(), x.max()], dtype=np.float32)
+    if feat_dim <= len(f):
+        return f[:feat_dim]
+    return np.r_[f, np.zeros(feat_dim - len(f), dtype=np.float32)]
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sniff the magic bytes and decode (WAV only; compressed formats
+    name their missing dependency)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        raise NotImplementedError("MP3 decoding requires librosa/ffmpeg "
+                                  "(not installed)")
+    if payload[:4] == b"fLaC":
+        raise NotImplementedError("FLAC decoding requires soundfile "
+                                  "(not installed)")
+    raise ValueError("unrecognized audio payload")
+
+
 def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Vectorized nearest-neighbor resize of an (H, W, C) array."""
     h, w = px.shape[:2]
@@ -138,10 +210,23 @@ def synthetic_media_table(n: int, seed: int = 42,
     """Deterministic binary payloads for tests/gates. ``media_type``:
     "image" -> opaque hash bytes (plumbing tests with codec="fake");
     "bmp" -> REAL decodable 24-bit BMPs (deterministic hash-gradient
-    pixels, varied dimensions)."""
+    pixels, varied dimensions);
+    "wav" -> REAL decodable 16-bit PCM WAVs (deterministic mono
+    sawtooth, varied length / rate / period)."""
     ids = np.arange(n, dtype=np.int64)
     payloads, sizes = [], []
-    if media_type == "bmp":
+    if media_type == "wav":
+        hs = hash_u64(np.uint64(seed), ids.astype(np.uint64))
+        rates = (8000, 16000, 22050)
+        for i in range(n):
+            sr = rates[int(hs[i] % np.uint64(3))]
+            ns = int(500 + (hs[i] >> np.uint64(8)) % np.uint64(1500))
+            period = int(16 + (hs[i] >> np.uint64(24)) % np.uint64(240))
+            samples = ((np.arange(ns, dtype=np.int64) % period)
+                       * 200 - period * 100).astype(np.int16)
+            payloads.append(encode_wav(samples, sr))
+            sizes.append(len(payloads[-1]))
+    elif media_type == "bmp":
         hs = hash_u64(np.uint64(seed), ids.astype(np.uint64))
         for i in range(n):
             w = int(16 + hs[i] % np.uint64(33))
@@ -179,6 +264,14 @@ class MediaDecoder:
     identical either way.
     """
 
+    #: per-codec (dim column names, channel-sum column names)
+    _COLS = {
+        "image": (("width", "height"), ("sum_r", "sum_g", "sum_b")),
+        "fake": (("width", "height"), ("sum_r", "sum_g", "sum_b")),
+        "audio": (("n_samples", "sample_rate"),
+                  ("sum_ch0", "sum_ch1", "sum_ch2")),
+    }
+
     def __init__(self, codec: str = "fake", feat_dim: int = 8,
                  resize_to: tuple[int, int] | None = None,
                  channel_sums: bool = False):
@@ -190,17 +283,31 @@ class MediaDecoder:
         elif codec == "image":
             self.decode = self._decode_image   # real BMP/PPM/PGM decode
         elif codec == "audio":
-            raise NotImplementedError(
-                "audio decoding requires soundfile/librosa (not installed); "
-                "use codec='fake'")
+            self.decode = self._decode_audio   # real WAV 16-bit PCM decode
         else:
             raise ValueError(f"unknown codec {codec!r}")
+        self.dim_cols, self.sum_cols = self._COLS[codec]
 
     def _decode_image(self, payload: bytes):
         px = decode_image(payload)
         if self.resize_to is not None:
             px = resize_nearest(px, *self.resize_to)
-        return px.shape[1], px.shape[0], image_features(px, self.feat_dim), px
+        # exact integer channel sums from the DECODED pixels —
+        # SQL-checkable against the payload (entries.py media oracle),
+        # unlike the float32 means in `features`
+        sums = ([int(px[:, :, c].sum(dtype=np.int64)) for c in range(3)]
+                if self.channel_sums else None)
+        return (px.shape[1], px.shape[0],
+                image_features(px, self.feat_dim), sums)
+
+    def _decode_audio(self, payload: bytes):
+        samples, sr = decode_audio(payload)
+        sums = None
+        if self.channel_sums:
+            sums = [int(samples[:, c].sum(dtype=np.int64))
+                    if c < samples.shape[1] else 0 for c in range(3)]
+        return (samples.shape[0], sr,
+                audio_features(samples, sr, self.feat_dim), sums)
 
     def _decode_fake(self, payload: bytes):
         u = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)
@@ -209,36 +316,31 @@ class MediaDecoder:
         hgt = int(16 + h[1] % np.uint64(112))
         feats = ((h[2:] >> np.uint64(11)).astype(np.float32)
                  / np.float32(1 << 53))
-        return w, hgt, feats, None
+        return w, hgt, feats, [0, 0, 0] if self.channel_sums else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id")
         ws, hs, fs = [], [], []
         sums = [[], [], []] if self.channel_sums else None
         for payload in batch.column("payload").to_pylist():
-            w, h, f, px = self.decode(payload)
+            w, h, f, s3 = self.decode(payload)
             ws.append(w)
             hs.append(h)
             fs.append(f)
             if sums is not None:
-                # exact integer channel sums from the DECODED pixels —
-                # SQL-checkable against the payload (entries.py media
-                # oracle), unlike the float32 means in `features`
                 for c in range(3):
-                    sums[c].append(
-                        int(px[:, :, c].sum(dtype=np.int64)) if px is not None
-                        else 0)
+                    sums[c].append(s3[c])
         out = {
             "media_id": ids,
-            "width": pa.array(ws, type=pa.int64()),
-            "height": pa.array(hs, type=pa.int64()),
+            self.dim_cols[0]: pa.array(ws, type=pa.int64()),
+            self.dim_cols[1]: pa.array(hs, type=pa.int64()),
             "features": pa.array([f.tolist() for f in fs],
                                  type=pa.list_(pa.float32())),
         }
         if "byte_size" in batch.column_names:
             out["byte_size"] = batch.column("byte_size")
         if sums is not None:
-            for c, name in enumerate(("sum_r", "sum_g", "sum_b")):
+            for c, name in enumerate(self.sum_cols):
                 out[name] = pa.array(sums[c], type=pa.int64())
         return pa.table(out)
 

@@ -305,6 +305,36 @@ def test_properties_merge_policies(tmp_path):
                     weight_col="w", properties_merge="first")
 
 
+def test_wav_roundtrip_and_audio_codec():
+    from ray_linkgraph.ops.multimodal import (audio_features, decode_audio,
+                                              decode_wav, encode_wav)
+    s = (np.arange(1200) % 40 * 150 - 3000).astype(np.int16)
+    x, sr = decode_wav(encode_wav(s, 22050))
+    assert sr == 22050 and x.shape == (1200, 1) and (x[:, 0] == s).all()
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    x2, sr2 = decode_wav(encode_wav(st, 8000))
+    assert sr2 == 8000 and (x2 == st).all()
+    f = audio_features(x, sr)
+    assert f[0] == 1200 and f[1] == 22050
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC" + b"\0" * 16)
+    with pytest.raises(ValueError):
+        decode_audio(b"nope" + b"\0" * 16)
+    # real decode through the actor-pool stage; channel-0 sum must equal
+    # the numpy sum of the generator's samples
+    t = synthetic_media_table(10, seed=5, media_type="wav")
+    out = decode_media(rd.from_arrow(t), codec="audio", batch_size=4,
+                       concurrency=(1, 2), channel_sums=True).to_pandas()
+    assert len(out) == 10
+    for _, row in out.iterrows():
+        samples, sr = decode_wav(
+            t.column("payload")[int(row["media_id"])].as_py())
+        assert row["n_samples"] == samples.shape[0]
+        assert row["sample_rate"] == sr
+        assert row["sum_ch0"] == int(samples[:, 0].sum(dtype=np.int64))
+        assert row["sum_ch1"] == 0 and row["sum_ch2"] == 0
+
+
 def test_bmp_ppm_roundtrip_and_image_codec():
     from ray_linkgraph.ops.multimodal import (decode_bmp, decode_ppm,
                                               encode_bmp, image_features,
