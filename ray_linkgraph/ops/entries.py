@@ -72,6 +72,11 @@ def q_sessionize(sf_dir):
     return events.sessionize(_events(sf_dir), gap_s=1800)
 
 
+def q_sliding_window(sf_dir):
+    return events.sliding_window_agg(_events(sf_dir), width_s=3600,
+                                     slide_s=900)
+
+
 def q_minhash_dedup(sf_dir):
     return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
 
@@ -398,6 +403,7 @@ def queries():
         "langid": q_langid,
         "doc_fingerprint": q_fingerprint,
         "events_window_1h": q_events_window,
+        "events_sliding_1h_15m": q_sliding_window,
         "sessionize_30m": q_sessionize,
         "minhash_lsh_dedup": q_minhash_dedup,
         "simhash_neardup": q_simhash_dedup,
@@ -437,6 +443,12 @@ FROM documents ORDER BY doc_id""",
 SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
        count(*) AS n_events, ROUND(sum(value), 6) AS sum_value
 FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+ORDER BY user_id, window_id""",
+        "events_sliding_1h_15m": """
+SELECT user_id, epoch_us(ts) // 900000000 - u.k AS window_id,
+       count(*) AS n_events, ROUND(sum(value), 6) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS k) u
+GROUP BY user_id, epoch_us(ts) // 900000000 - u.k
 ORDER BY user_id, window_id""",
         "sessionize_30m": """
 WITH x AS (SELECT user_id,

@@ -166,6 +166,16 @@ def test_events_window_and_sessionize():
         .sort_values("user_id")
     assert s["n_sessions"].tolist() == [2, 1]       # 2h gap splits user 1
     assert s["n_events"].tolist() == [3, 1]
+    # sliding windows: width=1h, slide=15m -> each event in 4 windows
+    sw = events.sliding_window_agg(rd.from_arrow(t), 3600, 900).to_pandas()
+    assert sw["n_events"].sum() == 4 * len(rows)
+    k0 = base // (900 * 10**6)
+    got = sw[(sw.user_id == 1) & (sw.window_id == k0)]
+    # window starting exactly at base holds events at +0 and +10min
+    assert got["n_events"].tolist() == [2]
+    assert got["sum_value"].tolist() == [3.0]
+    with pytest.raises(ValueError):
+        events.sliding_window_agg(rd.from_arrow(t), 3600, 1000)
 
 
 def test_multimodal_plumbing():
