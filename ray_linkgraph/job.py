@@ -41,6 +41,13 @@ def main(argv=None) -> int:
                     help="partitions (default: cluster CPUs)")
     ap.add_argument("--l1-threshold", type=float, default=1e-6)
     ap.add_argument("--max-supersteps", type=int, default=100)
+    ap.add_argument("--limit-edges-per-vertex", type=int, default=None,
+                    help="degree cap at load (reference "
+                         "input.limit_edges_in_one_vertex)")
+    ap.add_argument("--properties-merge", default="min",
+                    choices=["min", "max", "sum", "mean"],
+                    help="duplicate-edge weight merge policy (reference "
+                         "edge-properties combiner config point)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the last committed checkpoint")
     args = ap.parse_args(argv)
@@ -68,7 +75,9 @@ def main(argv=None) -> int:
         2, int(ray.cluster_resources().get("CPU", 8)))
     g = build_graph(extract_links(pages),
                     os.path.join(args.workdir, "graph"), n_parts=n_parts,
-                    extra_url_ds=pages.select_columns(["url"]))
+                    extra_url_ds=pages.select_columns(["url"]),
+                    limit_edges_per_vertex=args.limit_edges_per_vertex,
+                    properties_merge=args.properties_merge)
     t_build = time.monotonic() - t0
 
     ckpt = os.path.join(args.workdir, "ckpt", args.algorithm)
