@@ -33,6 +33,33 @@ def test_pagerank_layout_independent(work_dir):
     assert np.allclose(r2, r4, atol=1e-12, rtol=0)
 
 
+def test_degenerate_graphs(work_dir):
+    """Self-loop-only and isolated-vertex inputs run end-to-end: loops
+    are dropped at canonicalization, isolated vertices still get ranks
+    (reference loads isolated vertices; uniform dangling mass)."""
+    import os
+    from ray_linkgraph.algorithms import pagerank, wcc
+    # every edge is a self loop -> E = 0, V = 3; all vertices dangling
+    t = pa.table({"src": ["a", "b", "c"], "dst": ["a", "b", "c"]})
+    g = build_graph(rd.from_arrow(t), os.path.join(work_dir, "deg_loop"),
+                    n_parts=2)
+    assert g.V == 3 and g.num_edges("out") == 0
+    r = pagerank(g, l1_threshold=1e-9, max_supersteps=30).to_arrow()
+    ranks = r.to_pandas().sort_values("v_id")["rank"].to_numpy()
+    assert np.allclose(ranks, 1.0 / 3, atol=1e-9)
+    w = wcc(g, max_supersteps=10).to_arrow().to_pandas()
+    assert sorted(w["component"].tolist()) == [0, 1, 2]  # three singletons
+    # extra isolated urls only, single real edge
+    t2 = pa.table({"src": ["x"], "dst": ["y"]})
+    extra = rd.from_arrow(pa.table({"url": ["x", "y", "z1", "z2"]}))
+    g2 = build_graph(rd.from_arrow(t2), os.path.join(work_dir, "deg_iso"),
+                     n_parts=2, extra_url_ds=extra)
+    assert g2.V == 4 and g2.num_edges("out") == 1
+    r2 = pagerank(g2, l1_threshold=1e-12, max_supersteps=60).to_arrow() \
+        .to_pandas().sort_values("v_id")["rank"].to_numpy()
+    assert abs(r2.sum() - 1.0) < 1e-9
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.lists(st.integers(0, 10**12), max_size=6), max_size=20),
        st.data())
