@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "links_k4": tpch.q_links,
         "subgraph_diamond": tpch.q_subgraph,
         "louvain_l1": tpch.q_louvain,
+        "louvain_ml2": tpch.q_louvain_ml,
     }
     q.update(ops_entries.queries())
     return q
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "links_k4": tpch.sql_links(),
         "subgraph_diamond": tpch.sql_subgraph(),
         "louvain_l1": tpch.sql_louvain(),
+        "louvain_ml2": tpch.sql_louvain_ml(),
     }
     o.update(ops_entries.oracle_sql())
     return o

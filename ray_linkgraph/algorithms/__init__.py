@@ -10,7 +10,7 @@ from .closeness import ClosenessProgram, closeness_centrality
 from .betweenness import BetweennessProgram, betweenness_centrality
 from .rings import RingsProgram, rings_detection
 from .links import LinksProgram, links
-from .louvain import louvain_communities
+from .louvain import louvain_communities, louvain_multilevel
 from .subgraph import SubGraphProgram, subgraph_match
 
 __all__ = [
@@ -22,5 +22,6 @@ __all__ = [
     "BetweennessProgram", "betweenness_centrality",
     "RingsProgram", "rings_detection",
     "LinksProgram", "links", "louvain_communities",
+    "louvain_multilevel",
     "SubGraphProgram", "subgraph_match",
 ]

@@ -99,10 +99,27 @@ def louvain_communities(graph: Graph, max_rounds: int = 10,
         Sum("weight", alias_name="k")))
     k_v = np.zeros(graph.V, dtype=np.float64)
     k_v[kd.column("src_id").to_numpy()] = kd.column("k").to_numpy()
-    labels = all_nodes.copy()
+    labels = _local_moving_bcast(
+        edges, graph.V, k_v, two_m, max_rounds,
+        small_edges=graph.num_edges("both") <= 5_000_000)
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(all_nodes),
+        "community": pa.array(labels)}))
+
+
+def _local_moving_bcast(edges, V, k_v, two_m, max_rounds,
+                        small_edges: bool):
+    """Synchronous local-moving rounds over an edge Dataset
+    (src_id, dst_id, weight; SELF-LOOPS EXCLUDED — a self-loop moves
+    with its node, so it cancels from every gain comparison and must
+    only appear in the supplied ``k_v`` degrees). Returns the final
+    label array. The broadcast tables are V-bounded; the edge pass is
+    distributed map-side-combined partials."""
+    labels = np.arange(V, dtype=np.int64)
 
     for _ in range(max_rounds):
-        tot = np.bincount(labels, weights=k_v, minlength=graph.V)
+        tot = np.bincount(labels, weights=k_v, minlength=V)
         ref = ray.put((labels, k_v, tot))
 
         def gain_pass(t: pa.Table) -> pa.Table:
@@ -124,7 +141,7 @@ def louvain_communities(graph: Graph, max_rounds: int = 10,
                 "kvc": pa.array(np.add.reduceat(w2, runs))})
 
         partials = edges.map_batches(gain_pass, batch_format="pyarrow")
-        if graph.num_edges("both") <= 5_000_000:
+        if small_edges:
             # small graph: sum the (already per-batch combined) partials
             # in one pass — a groupby job per round costs seconds of
             # fixed overhead regardless of size
@@ -170,9 +187,7 @@ def louvain_communities(graph: Graph, max_rounds: int = 10,
         labels = labels.copy()
         labels[best_n[do]] = best_c[do]
 
-    return ray.data.from_arrow(pa.table({
-        "node": pa.array(all_nodes),
-        "community": pa.array(labels)}))
+    return labels
 
 
 def _coalesce_moves(t: pa.Table) -> pa.Table:
@@ -277,3 +292,92 @@ def _louvain_large(graph: Graph, edges, two_m: float, max_rounds: int,
             .materialize()
 
     return labels.rename_columns({"cur": "community"})
+
+
+def louvain_multilevel(graph: Graph, levels: int = 2,
+                       max_rounds: int = 10,
+                       large_graph: bool | None = None,
+                       num_partitions: int | None = None):
+    """Hierarchical Louvain: level 1 = distributed local moving
+    (:func:`louvain_communities`, broadcast or join route), then
+    repeatedly CONTRACT communities into super-nodes and re-run local
+    moving on the contracted graph — the aggregation phase the
+    reference's sequential optimizer iterates
+    (HGModularityOptimizer.java; our phase-1 deviation is documented in
+    the module docstring).
+
+    The contraction itself is distributed (edges ⋈ labels on both
+    endpoints + groupby(ca, cb) Sum) — only the CONTRACTED edge table
+    is collected, which the first level shrinks by orders of magnitude;
+    self-edges (intra-community weight) enter the super-node degrees
+    but are excluded from the gain pass, where they cancel exactly.
+    Community ids stay in original-node-id space at every level.
+
+    -> Dataset(node, community)."""
+    from .._util import drop_empty_blocks
+
+    if num_partitions is None:
+        # a join's aggregator pool needs num_partitions live actors —
+        # more than the session's CPUs deadlocks a small cluster
+        num_partitions = max(2, min(
+            32, int(ray.cluster_resources().get("CPU", 8))))
+    lab_ds = louvain_communities(graph, max_rounds, large_graph,
+                                 num_partitions).materialize()
+    edges = _edges_both_ds(graph).materialize()
+    two_m = float(edges.sum("weight") or 0.0)
+    if two_m == 0:
+        return lab_ds
+
+    for _lvl in range(1, levels):
+        e1 = drop_empty_blocks(edges).join(
+            lab_ds.rename_columns({"node": "snode", "community": "ca"}),
+            "inner", num_partitions=num_partitions,
+            on=("src_id",), right_on=("snode",))
+        e2 = drop_empty_blocks(e1).join(
+            lab_ds.rename_columns({"node": "dnode", "community": "cb"}),
+            "inner", num_partitions=num_partitions,
+            on=("dst_id",), right_on=("dnode",))
+        ct = _collect(e2.groupby(["ca", "cb"])
+                      .aggregate(Sum("weight", alias_name="weight")))
+        if ct is None:
+            break
+        ca = ct.column("ca").to_numpy().astype(np.int64)
+        cb = ct.column("cb").to_numpy().astype(np.int64)
+        cw = ct.column("weight").to_numpy()
+        uniq = np.unique(np.r_[ca, cb])          # communities WITH edges
+        nc = len(uniq)
+        da, db = np.searchsorted(uniq, ca), np.searchsorted(uniq, cb)
+        # super-node degree includes the self-loop (intra) weight
+        k_c = np.bincount(da, weights=cw, minlength=nc)
+        nonself = da != db
+        if not nonself.any():
+            break
+        contracted = ray.data.from_arrow(pa.table({
+            "src_id": pa.array(da[nonself]),
+            "dst_id": pa.array(db[nonself]),
+            "weight": pa.array(cw[nonself])}))
+        labs2 = _local_moving_bcast(
+            contracted, nc, k_c, two_m, max_rounds,
+            small_edges=int(nonself.sum()) <= 5_000_000)
+        if (labs2 == np.arange(nc)).all():
+            break                                 # nothing merged
+        move_map = ray.data.from_arrow(pa.table({
+            "mcomm": pa.array(uniq),
+            "new_comm": pa.array(uniq[labs2])}))
+        # edgeless singleton communities are absent from the map: keep
+        # their label (left_outer + coalesce)
+        import pyarrow.compute as pc
+
+        def coalesce(t: pa.Table) -> pa.Table:
+            new = t.column("new_comm")
+            return pa.table({
+                "node": t.column("node"),
+                "community": pc.if_else(pc.is_null(new),
+                                        t.column("community"), new)})
+
+        lab_ds = drop_empty_blocks(lab_ds).join(
+            move_map, "left_outer", num_partitions=num_partitions,
+            on=("community",), right_on=("mcomm",)) \
+            .map_batches(coalesce, batch_format="pyarrow").materialize()
+
+    return lab_ds

@@ -276,6 +276,19 @@ def q_louvain(sf_dir: str) -> pa.Table:
         "community": pa.array(nm[df["community"].to_numpy()])})
 
 
+def q_louvain_ml(sf_dir: str) -> pa.Table:
+    """Hierarchical (2-level) Louvain: distributed local moving +
+    community contraction (algorithms/louvain.py louvain_multilevel)."""
+    from ray_linkgraph.algorithms.louvain import louvain_multilevel
+    g = gate_graph(sf_dir)
+    nm = _node_map(g)
+    df = louvain_multilevel(g, levels=2, max_rounds=LOUVAIN_ROUNDS) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(nm[df["node"].to_numpy()]),
+        "community": pa.array(nm[df["community"].to_numpy()])})
+
+
 def q_kcore(sf_dir: str) -> pa.Table:
     g = gate_graph(sf_dir)
     res = kcore(g, k=3, max_supersteps=KCORE_ROUNDS + 1).to_arrow()
@@ -750,12 +763,48 @@ FROM v LEFT JOIN (SELECT a AS node, count(*) AS c FROM sg GROUP BY a) t
 ON t.node = v.node ORDER BY v.node"""
 
 
-def sql_louvain(rounds: int = LOUVAIN_ROUNDS) -> str:
-    """Unrolled synchronous one-level local moving, bit-identical to
-    algorithms/louvain.py (weights/sums are exact small integers in
-    float64, so gains and ties replicate exactly)."""
-    parts = [SQL_BASE.rstrip()]
-    parts.append("""
+def _sql_louvain_round(r: int, p: str, edge: str) -> str:
+    """One synchronous local-moving round as CTEs: reads {p}lv{r}
+    (node, lab, k) + ``edge`` (a, b, w), emits {p}lv{r+1}. Shared by
+    the one-level and the contracted (multilevel) oracle chains."""
+    return f"""
+{p}lt{r} AS MATERIALIZED (SELECT lab, sum(k) AS tot FROM {p}lv{r} GROUP BY lab),
+{p}lkvc{r} AS MATERIALIZED (
+  SELECT {edge}.a AS node, l.lab AS cand, sum({edge}.w) AS kvc
+  FROM {edge} JOIN {p}lv{r} l ON l.node = {edge}.b GROUP BY {edge}.a, l.lab),
+{p}lg{r} AS MATERIALIZED (
+  SELECT kv.node, kv.cand,
+         kv.kvc - me.k * (t.tot - CASE WHEN kv.cand = me.lab
+                                       THEN me.k ELSE 0.0 END)
+                  / (SELECT m2 FROM twom) AS gain
+  FROM {p}lkvc{r} kv
+  JOIN {p}lv{r} me ON me.node = kv.node
+  JOIN {p}lt{r} t ON t.lab = kv.cand),
+{p}lb{r} AS MATERIALIZED (
+  SELECT node, cand, gain FROM (
+    SELECT node, cand, gain,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY gain DESC, cand ASC) AS rn
+    FROM {p}lg{r}) x WHERE rn = 1),
+{p}ls{r} AS MATERIALIZED (
+  SELECT me.node,
+         COALESCE(g.gain,
+                  -me.k * (t.tot - me.k) / (SELECT m2 FROM twom)) AS stay
+  FROM {p}lv{r} me
+  JOIN {p}lt{r} t ON t.lab = me.lab
+  LEFT JOIN {p}lg{r} g ON g.node = me.node AND g.cand = me.lab),
+{p}lv{r + 1} AS MATERIALIZED (
+  SELECT me.node,
+         CASE WHEN b.gain IS NOT NULL AND b.gain > s.stay + 1e-15
+                   AND b.cand <> me.lab
+              THEN b.cand ELSE me.lab END AS lab,
+         me.k
+  FROM {p}lv{r} me
+  JOIN {p}ls{r} s ON s.node = me.node
+  LEFT JOIN {p}lb{r} b ON b.node = me.node)"""
+
+
+_SQL_LOUVAIN_BASE = """
 ew2 AS MATERIALIZED (SELECT src, dst,
         CAST((src * 7 + dst * 13) % 10 + 1 AS DOUBLE) AS w FROM e),
 ubw AS MATERIALIZED (SELECT a, b, min(w) AS w FROM (
@@ -765,46 +814,47 @@ kdeg AS MATERIALIZED (SELECT a AS node, sum(w) AS k FROM ubw GROUP BY a),
 twom AS MATERIALIZED (SELECT sum(w) AS m2 FROM ubw),
 lv0 AS MATERIALIZED (SELECT v.node, v.node AS lab,
         COALESCE(kdeg.k, 0.0) AS k
-        FROM v LEFT JOIN kdeg ON kdeg.node = v.node)""")
+        FROM v LEFT JOIN kdeg ON kdeg.node = v.node)"""
+
+
+def sql_louvain(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous one-level local moving, bit-identical to
+    algorithms/louvain.py (weights/sums are exact small integers in
+    float64, so gains and ties replicate exactly)."""
+    parts = [SQL_BASE.rstrip(), _SQL_LOUVAIN_BASE]
     for r in range(rounds):
-        parts.append(f"""
-lt{r} AS MATERIALIZED (SELECT lab, sum(k) AS tot FROM lv{r} GROUP BY lab),
-lkvc{r} AS MATERIALIZED (
-  SELECT ubw.a AS node, l.lab AS cand, sum(ubw.w) AS kvc
-  FROM ubw JOIN lv{r} l ON l.node = ubw.b GROUP BY ubw.a, l.lab),
-lg{r} AS MATERIALIZED (
-  SELECT kv.node, kv.cand,
-         kv.kvc - me.k * (t.tot - CASE WHEN kv.cand = me.lab
-                                       THEN me.k ELSE 0.0 END)
-                  / (SELECT m2 FROM twom) AS gain
-  FROM lkvc{r} kv
-  JOIN lv{r} me ON me.node = kv.node
-  JOIN lt{r} t ON t.lab = kv.cand),
-lb{r} AS MATERIALIZED (
-  SELECT node, cand, gain FROM (
-    SELECT node, cand, gain,
-           row_number() OVER (PARTITION BY node
-                              ORDER BY gain DESC, cand ASC) AS rn
-    FROM lg{r}) x WHERE rn = 1),
-ls{r} AS MATERIALIZED (
-  SELECT me.node,
-         COALESCE(g.gain,
-                  -me.k * (t.tot - me.k) / (SELECT m2 FROM twom)) AS stay
-  FROM lv{r} me
-  JOIN lt{r} t ON t.lab = me.lab
-  LEFT JOIN lg{r} g ON g.node = me.node AND g.cand = me.lab),
-lv{r + 1} AS MATERIALIZED (
-  SELECT me.node,
-         CASE WHEN b.gain IS NOT NULL AND b.gain > s.stay + 1e-15
-                   AND b.cand <> me.lab
-              THEN b.cand ELSE me.lab END AS lab,
-         me.k
-  FROM lv{r} me
-  JOIN ls{r} s ON s.node = me.node
-  LEFT JOIN lb{r} b ON b.node = me.node)""")
+        parts.append(_sql_louvain_round(r, "", "ubw"))
     body = ",".join(parts)
     return (f"WITH {body} SELECT node, lab AS community FROM lv{rounds} "
             f"ORDER BY node")
+
+
+def sql_louvain_ml(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Multilevel (2-level) replica of louvain_multilevel: the level-1
+    chain, then COMMUNITY CONTRACTION (super-node degrees include the
+    intra-community self-loop weight; the gain pass excludes
+    self-edges, where it cancels exactly) and the same unrolled
+    local-moving rounds over the contracted graph; communities without
+    any edges keep their level-1 label."""
+    parts = [SQL_BASE.rstrip(), _SQL_LOUVAIN_BASE]
+    for r in range(rounds):
+        parts.append(_sql_louvain_round(r, "", "ubw"))
+    parts.append(f"""
+cw AS MATERIALIZED (
+  SELECT la.lab AS ca, lb.lab AS cb, sum(ubw.w) AS w
+  FROM ubw JOIN lv{rounds} la ON la.node = ubw.a
+           JOIN lv{rounds} lb ON lb.node = ubw.b
+  GROUP BY la.lab, lb.lab),
+cubw AS MATERIALIZED (SELECT ca AS a, cb AS b, w FROM cw WHERE ca <> cb),
+mlv0 AS MATERIALIZED (
+  SELECT ca AS node, ca AS lab, sum(w) AS k FROM cw GROUP BY ca)""")
+    for r in range(rounds):
+        parts.append(_sql_louvain_round(r, "m", "cubw"))
+    body = ",".join(parts)
+    return (f"WITH {body} "
+            f"SELECT l1.node, COALESCE(m.lab, l1.lab) AS community "
+            f"FROM lv{rounds} l1 "
+            f"LEFT JOIN mlv{rounds} m ON m.node = l1.lab ORDER BY l1.node")
 
 
 def sql_clustering() -> str:

@@ -386,6 +386,13 @@ def naive_louvain_one_level(V, und_adj_w, max_rounds=10):
     VOS optimizer — see that module's docstring)."""
     k = [sum(w for _, w in a) for a in und_adj_w]
     two_m = sum(k)
+    return _naive_local_moving(V, und_adj_w, k, two_m, max_rounds)
+
+
+def _naive_local_moving(V, und_adj_w, k, two_m, max_rounds):
+    """Local-moving rounds with EXTERNAL degrees ``k`` (so contracted
+    super-nodes can carry self-loop weight in k while the adjacency
+    excludes self-edges)."""
     labels = list(range(V))
     if two_m == 0:
         return labels
@@ -421,4 +428,41 @@ def naive_louvain_one_level(V, und_adj_w, max_rounds=10):
         if not moved:
             break
         labels = new
+    return labels
+
+
+def naive_louvain_multilevel(V, und_adj_w, levels=2, max_rounds=10):
+    """Hierarchical mirror of louvain_multilevel: local moving, then
+    contract communities (self-loop weight into super-node degrees,
+    excluded from adjacency) and repeat; labels stay in original
+    node-id space."""
+    labels = naive_louvain_one_level(V, und_adj_w, max_rounds)
+    two_m = sum(w for a in und_adj_w for _, w in a)
+    if two_m == 0:
+        return labels
+    for _ in range(1, levels):
+        # contracted weights incl. self
+        W = {}
+        for v in range(V):
+            for t, w in und_adj_w[v]:
+                key = (labels[v], labels[t])
+                W[key] = W.get(key, 0.0) + w
+        uniq = sorted({c for ab in W for c in ab})
+        dense = {c: i for i, c in enumerate(uniq)}
+        nc = len(uniq)
+        k_c = [0.0] * nc
+        adj = [[] for _ in range(nc)]
+        for (a, b), w in W.items():
+            k_c[dense[a]] += w
+            if a != b:
+                adj[dense[a]].append((dense[b], w))
+        for a in adj:
+            a.sort()
+        if not any(adj):
+            break
+        labs2 = _naive_local_moving(nc, adj, k_c, two_m, max_rounds)
+        if labs2 == list(range(nc)):
+            break
+        labels = [uniq[labs2[dense[labels[v]]]] if labels[v] in dense
+                  else labels[v] for v in range(V)]
     return labels

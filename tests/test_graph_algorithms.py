@@ -412,6 +412,41 @@ def test_louvain_distributed_variant(built):
     assert len(set(exp)) < g.V
 
 
+def test_louvain_multilevel_parity(tmp_path):
+    """Hierarchical Louvain on a two-scale community graph: level 1
+    finds the cliques, the contracted level merges clique pairs —
+    engine must equal the naive mirror exactly, and level 2 must merge
+    beyond the one-level result."""
+    import os
+    from ray_linkgraph.graph import build_graph
+    from ray_linkgraph.algorithms.louvain import (louvain_communities,
+                                                  louvain_multilevel)
+    # 4 triangles; pairs (0,1) / (2,3) joined by triple bridges, the two
+    # pairs by one weak bridge — strong enough that the CONTRACTED level
+    # merges triangle communities level 1 keeps apart
+    edges = set()
+    for c in range(4):
+        b = 3 * c
+        edges |= {(b, b + 1), (b, b + 2), (b + 1, b + 2)}
+    edges |= {(0, 3), (1, 4), (2, 5), (6, 9), (7, 10), (8, 11), (5, 6)}
+    import pyarrow as pa
+    t = pa.table({"src": [str(a) for a, b in sorted(edges)],
+                  "dst": [str(b) for a, b in sorted(edges)]})
+    g = build_graph(rd.from_arrow(t), str(tmp_path / "ml"), n_parts=2)
+    both = edges | {(d, s) for s, d in edges}
+    und = [[] for _ in range(g.V)]
+    for s, d in both:
+        und[s].append((d, 1.0))
+    res = louvain_multilevel(g, levels=3, max_rounds=10).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = naive_ref.naive_louvain_multilevel(g.V, und, levels=3,
+                                             max_rounds=10)
+    assert res["community"].tolist() == exp
+    l1 = louvain_communities(g, max_rounds=10).to_pandas() \
+        .sort_values("node")["community"].tolist()
+    assert len(set(exp)) < len(set(l1))       # contraction merged further
+
+
 def test_louvain_join_route_parity(built):
     """The billion-vertex join route (large_graph=True) must be
     bit-identical to the broadcast route / naive oracle."""
