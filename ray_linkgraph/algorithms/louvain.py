@@ -248,8 +248,10 @@ def _louvain_large(graph: Graph, edges, two_m: float, max_rounds: int,
         {"src_id": "knode"}).materialize()
 
     def add_gkey(t: pa.Table) -> pa.Table:
+        from .._util import _strip_schema_meta
         gk = t.column("node").to_numpy() % G_COARSE
-        return t.append_column("gkey", pa.array(gk.astype(np.int64)))
+        return _strip_schema_meta(
+            t.append_column("gkey", pa.array(gk.astype(np.int64))))
 
     for _ in range(max_rounds):
         # community totals: tot(c) = sum of member degrees

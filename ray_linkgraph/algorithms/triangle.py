@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .._util import hash_u64
+from .._util import hash_u64, _strip_schema_meta
 from ..graph import Graph
 
 
@@ -98,7 +98,8 @@ def triangle_count(graph: Graph, n_buckets: int | None = None,
 
     def add_dst_part(batch: pa.Table) -> pa.Table:
         dp = batch.column("dst").to_numpy() // part_size
-        return batch.append_column("dst_part", pa.array(dp, type=pa.int64()))
+        return _strip_schema_meta(
+            batch.append_column("dst_part", pa.array(dp, type=pa.int64())))
 
     # ---- stage 2a: attach deg_dst + orient (grouped by dst partition) -----
     def orient_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -146,7 +147,8 @@ def triangle_count(graph: Graph, n_buckets: int | None = None,
         w1 = batch.column("w1").to_numpy()
         w2 = batch.column("w2").to_numpy()
         b = (hash_u64(w1, w2) % np.uint64(B)).astype(np.int64)
-        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+        return _strip_schema_meta(
+            batch.append_column("bucket", pa.array(b, type=pa.int64())))
 
     # ---- stage 3: bucket join, explode corners ----------------------------
     def join_group(df: pd.DataFrame) -> pd.DataFrame:

@@ -6,11 +6,22 @@ our input is raw Common-Crawl-style pages, so extraction is the ingest
 stage: ``pages → (src, dst) edges`` plus the byte-identical
 ``url → text`` invariant (BASELINE.json input_hint).
 
-Both extractors are callable classes (actor-pool stages): the regexes
-are compiled once per actor in ``__init__``; ``__call__`` does
-vectorized-ish work per Arrow batch (the regex engine runs in C; only
-the per-row dispatch is Python — html payloads are bytes and never
-round-trip through pandas).
+Both extractors are fully vectorized Arrow kernel chains — no Python
+loop over rows and no ``to_pylist`` round trip.  The anchor pattern
+``<a href="([^"]*)">`` is decomposed into ``split_pattern`` on the fixed
+prefix + a bounded split on the closing quote + a ``starts_with('>')``
+validity check; this is exactly equivalent to the regex (the capture
+group excludes ``"``, so a match always ends at the FIRST quote after
+the prefix and is valid iff that quote is followed by ``>`` — any
+backtracking the regex engine would attempt cannot cross a quote).
+Paragraph extraction (``<p>(.*?)</p>`` DOTALL) is likewise decomposed
+via ``split_pattern``; for well-formed, non-nested paragraphs this is
+byte-identical (the pathological case where a ``<p>`` has no closing
+tag before the next ``<p>`` differs — the regex would span pieces —
+and tests pin equality against the regex on the synthetic corpus).
+
+They are callable classes (actor-pool stages) so per-actor setup stays
+the contract even though the vectorized path needs none.
 """
 
 from __future__ import annotations
@@ -19,9 +30,21 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 HREF_RE = rb'<a href="([^"]*)">'
 TEXT_RE = rb"<p>(.*?)</p>"
+ANCHOR_PREFIX = b'<a href="'
+
+
+def _list_parts(lst):
+    """(flat values, per-row lengths int64, first-element offsets) of a
+    list array produced by split_pattern (every list has >= 1 element)."""
+    nlens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lst)
+    starts = np.zeros(len(nlens), dtype=np.int64)
+    np.cumsum(nlens[:-1], out=starts[1:] if len(nlens) else starts[:0])
+    return flat, nlens, starts
 
 
 class LinkExtractor:
@@ -34,21 +57,34 @@ class LinkExtractor:
     """
 
     def __init__(self):
-        self.href = re.compile(HREF_RE, re.S)
+        self.href = re.compile(HREF_RE, re.S)  # kept for the slow-path oracle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        find = self.href.findall
-        src_counts = np.empty(len(urls), dtype=np.int64)
-        dsts: list[bytes] = []
-        for i, h in enumerate(htmls):
-            m = find(h)
-            src_counts[i] = len(m)
-            dsts.extend(m)
-        src = pa.array(np.repeat(np.asarray(urls, dtype=object), src_counts),
-                       type=pa.string())
-        dst = pa.array([d.decode("utf-8") for d in dsts], type=pa.string())
+        html = batch.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        if len(html) == 0:
+            return pa.table({"src": pa.array([], type=pa.string()),
+                             "dst": pa.array([], type=pa.string())})
+        lst = pc.split_pattern(html, pattern=ANCHOR_PREFIX)
+        flat, nlens, starts = _list_parts(lst)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[starts] = False                     # drop pre-prefix piece per row
+        keep = np.flatnonzero(mask)
+        pieces = flat.take(pa.array(keep))
+        row_ids = np.repeat(np.arange(len(nlens), dtype=np.int64), nlens)[keep]
+
+        lst2 = pc.split_pattern(pieces, pattern=b'"', max_splits=1)
+        flat2, l2, starts2 = _list_parts(lst2)
+        two = l2 == 2                            # a closing quote exists
+        rest = flat2.take(pa.array(starts2[two] + 1))
+        ok = pc.starts_with(rest, pattern=b">").to_numpy(zero_copy_only=False)
+        valid = np.flatnonzero(two)[ok]
+        dst = flat2.take(pa.array(starts2[valid])).cast(pa.string())
+        src = urls.take(pa.array(row_ids[valid]))
         return pa.table({"src": src, "dst": dst})
 
 
@@ -61,14 +97,38 @@ class TextExtractor:
     """
 
     def __init__(self):
-        self.para = re.compile(TEXT_RE, re.S)
+        self.para = re.compile(TEXT_RE, re.S)  # kept for the slow-path oracle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column("html").to_pylist()
-        find = self.para.findall
-        texts = [b"".join(find(h)).decode("utf-8") for h in htmls]
+        html = batch.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        if len(html) == 0:
+            return pa.table({"url": batch.column("url"),
+                             "text": pa.array([], type=pa.string())})
+        lst = pc.split_pattern(html, pattern=b"<p>")
+        flat, nlens, starts = _list_parts(lst)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[starts] = False
+        keep = np.flatnonzero(mask)
+        pieces = flat.take(pa.array(keep))
+        row_ids = np.repeat(np.arange(len(nlens), dtype=np.int64), nlens)[keep]
+
+        lst2 = pc.split_pattern(pieces, pattern=b"</p>", max_splits=1)
+        flat2, l2, starts2 = _list_parts(lst2)
+        two = l2 == 2                            # closing tag exists
+        contents = flat2.take(pa.array(starts2[two]))
+        rows = row_ids[two]                      # nondecreasing by construction
+        counts = np.bincount(rows, minlength=len(nlens)).astype(np.int64)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        grouped = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            contents.cast(pa.large_binary()))
+        joined = pc.binary_join(grouped,
+                                pa.scalar(b"", type=pa.large_binary()))
         return pa.table({"url": batch.column("url"),
-                         "text": pa.array(texts, type=pa.string())})
+                         "text": joined.cast(pa.string())})
 
 
 def _default_concurrency():
@@ -78,7 +138,7 @@ def _default_concurrency():
     return (1, max(2, n))
 
 
-def extract_links(pages, batch_size: int = 2048, concurrency=None):
+def extract_links(pages, batch_size: int = 4096, concurrency=None):
     """pages Dataset -> edges Dataset (src:string, dst:string).
 
     Projects away all non-needed columns before the transform so shuffles
@@ -90,7 +150,7 @@ def extract_links(pages, batch_size: int = 2048, concurrency=None):
                           concurrency=concurrency or _default_concurrency())
 
 
-def extract_text(pages, batch_size: int = 2048, concurrency=None):
+def extract_text(pages, batch_size: int = 4096, concurrency=None):
     ds = pages.select_columns(["url", "html"])
     return ds.map_batches(TextExtractor, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,

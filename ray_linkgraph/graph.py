@@ -45,7 +45,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from ._util import ceil_div
+from ._util import ceil_div, _strip_schema_meta
 
 SAMPLE_MOD = 64          # deterministic sample: crc32(url) % SAMPLE_MOD == 0
 SAMPLE_LIMIT = 200_000   # driver-side cap on boundary sample size
@@ -199,8 +199,8 @@ class Graph:
         def assign(batch: pa.Table) -> pa.Table:
             v = batch.column(v_id_col).to_numpy()
             b = np.searchsorted(offsets, v, side="right") - 1
-            return batch.append_column("_bucket",
-                                       pa.array(b, type=pa.int64()))
+            return _strip_schema_meta(batch.append_column(
+                "_bucket", pa.array(b, type=pa.int64())))
 
         def join_group(df: pd.DataFrame) -> pd.DataFrame:
             b = int(df["_bucket"].iloc[0])
@@ -347,7 +347,8 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
 
     def assign_bucket_url(batch: pa.Table) -> pa.Table:
         b = _assign_buckets(batch.column("url"), boundaries)
-        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+        return _strip_schema_meta(
+            batch.append_column("bucket", pa.array(b, type=pa.int64())))
 
     # ---- 3. per-bucket dedup + Id-order sort -> dict shards ---------------
     dict_dir = os.path.join(graph_dir, "dict")
@@ -418,7 +419,8 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     def encode_side(ds, col: str, out_col: str):
         def assign(batch: pa.Table) -> pa.Table:
             b = _assign_buckets(batch.column(col), boundaries)
-            return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+            return _strip_schema_meta(
+                batch.append_column("bucket", pa.array(b, type=pa.int64())))
 
         def join_group(t: pa.Table) -> pa.Table:
             b = int(t.column("bucket")[0].as_py())
@@ -454,7 +456,8 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         keep = s != d
         t = batch.select(cols).filter(pa.array(keep))
         part = t.column("src_id").to_numpy() // part_size
-        return t.append_column("part", pa.array(part, type=pa.int64()))
+        return _strip_schema_meta(
+            t.append_column("part", pa.array(part, type=pa.int64())))
 
     n_edges = _write_partition_files(
         enc.map_batches(prep, batch_format="pyarrow"), e_dir, weight_col,

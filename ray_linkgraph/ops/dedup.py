@@ -41,6 +41,7 @@ import ray
 
 from . import texthash
 from .._util import drop_empty_blocks as _nonempty_blocks
+from .._util import _strip_schema_meta
 from .cc import assign_clusters, connected_components
 
 SHINGLE_W = texthash.SHINGLE_W
@@ -195,8 +196,8 @@ def _coarse_group(cols):
     def add(t: pa.Table) -> pa.Table:
         acc = hash_u64(*[t.column(c).to_numpy().astype(np.uint64)
                          for c in cols])
-        return t.append_column("_g", pa.array(
-            (acc % np.uint64(N_PAIR_GROUPS)).astype(np.int64)))
+        return _strip_schema_meta(t.append_column("_g", pa.array(
+            (acc % np.uint64(N_PAIR_GROUPS)).astype(np.int64))))
 
     return add
 
@@ -469,7 +470,8 @@ def embedding_neardup_lsh(emb_ds, threshold: float = 0.95,
         vecs = flat.reshape(len(t), -1)
         signs = (vecs @ planes.T) >= 0
         code = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-        return t.append_column("bucket", pa.array(code.astype(np.int64)))
+        return _strip_schema_meta(
+            t.append_column("bucket", pa.array(code.astype(np.int64))))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()

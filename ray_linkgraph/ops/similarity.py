@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .._util import hash_u64, read_parquet_nm
+from .._util import hash_u64, read_parquet_nm, _strip_schema_meta
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
@@ -118,7 +118,8 @@ def ivf_index(emb_ds, n_centroids: int = 16, seed: int = 11,
         vecs = _normalize(np.stack(batch.column(vec_col).to_pylist())
                           .astype(np.float64))
         b = np.argmax(vecs @ cents.T, axis=1)
-        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+        return _strip_schema_meta(
+            batch.append_column("bucket", pa.array(b.astype(np.int64))))
 
     return cents, emb_ds.map_batches(assign, batch_format="pyarrow")
 

@@ -190,12 +190,12 @@ def test_multimodal_plumbing():
     out2 = decode_media(rd.from_arrow(t), codec="fake", batch_size=5,
                         concurrency=1).to_pandas().sort_values("media_id")
     assert out["width"].tolist() == out2["width"].tolist()
-    # image codec is REAL now (BMP/PPM); audio stays a marked stub, and
-    # library-needing image formats raise naming the dependency
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(codec="audio")
+    # image (BMP/PPM) and audio (WAV 16-bit PCM) codecs are REAL;
+    # library-needing formats raise naming the missing dependency
     with pytest.raises(NotImplementedError):
         MediaDecoder(codec="image").decode(b"\xff\xd8\xff rest-of-jpeg")
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(codec="audio").decode(b"\xff\xfb mp3-frame-data")
     assert frame_sample_indices(35, 10).tolist() == [0, 10, 20, 30]
 
 
