@@ -15,7 +15,7 @@ import ray.data
 
 from .._util import read_parquet_nm
 
-from . import dedup, events, multimodal, pipelines, similarity, text, texthash  # noqa: F401 — imported at module scope so __ray_entry__'s by-value cloudpickle registration covers every worker-visible module
+from . import dedup, events, joins, multimodal, pipelines, similarity, text, texthash  # noqa: F401 — imported at module scope so __ray_entry__'s by-value cloudpickle registration covers every worker-visible module
 
 EMB_NEARDUP_T = 0.45   # gate threshold (test embeddings max pair cos ~0.51)
 KNN_K = 5
@@ -75,6 +75,36 @@ def q_sessionize(sf_dir):
 def q_sliding_window(sf_dir):
     return events.sliding_window_agg(_events(sf_dir), width_s=3600,
                                      slide_s=900)
+
+
+def _events_of_type(sf_dir, kind: str):
+    ds = read_parquet_nm(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    import pyarrow.compute as pc
+    return (ds.map_batches(
+        lambda t, k=kind: t.filter(pc.equal(t.column("event_type"), k)),
+        batch_format="pyarrow")
+        .select_columns(["event_id", "ts", "user_id"]))
+
+
+def q_asof_purchase_click(sf_dir):
+    """Backward as-of join: each purchase event -> the latest prior
+    click event of the same user (-1 when none)."""
+    out = joins.asof_join(_events_of_type(sf_dir, "purchase"),
+                          _events_of_type(sf_dir, "click"),
+                          by="user_id", on="ts", right_val="event_id",
+                          out_col="prior_event_id")
+    return out.select_columns(["event_id", "user_id", "prior_event_id"])
+
+
+def q_range_join_5m(sf_dir):
+    """Band/range join (aggregated): per purchase event, the number of
+    error events (any user) within +-5 minutes."""
+    return joins.band_join_count(_events_of_type(sf_dir, "purchase"),
+                                 _events_of_type(sf_dir, "error"),
+                                 on="ts", band_us=300_000_000,
+                                 left_key="event_id",
+                                 out_col="n_near_errors")
 
 
 def q_minhash_dedup(sf_dir):
@@ -405,6 +435,8 @@ def queries():
         "events_window_1h": q_events_window,
         "events_sliding_1h_15m": q_sliding_window,
         "sessionize_30m": q_sessionize,
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_5m": q_range_join_5m,
         "minhash_lsh_dedup": q_minhash_dedup,
         "simhash_neardup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
@@ -460,6 +492,21 @@ SELECT user_id,
          AS n_sessions,
        count(*) AS n_events
 FROM x GROUP BY user_id ORDER BY user_id""",
+        "asof_purchase_click": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, max(event_id) AS event_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id,
+       coalesce(c.event_id, -1) AS prior_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id""",
+        "range_join_5m": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT * FROM events WHERE event_type = 'error')
+SELECT p.event_id, count(e.event_id) AS n_near_errors
+FROM p LEFT JOIN e
+  ON e.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+GROUP BY p.event_id ORDER BY p.event_id""",
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_lsh_dedup": _minhash_sql(),
         "simhash_neardup": _simhash_sql(),

@@ -431,3 +431,52 @@ def test_clean_corpus_antijoin_path(monkeypatch):
                                          num_partitions=4)
     assert sorted(kept.to_pandas()["doc_id"]) == [0, 3]
     assert audit["dropped_duplicates"] == 2
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (ops/joins.py)
+
+def _ts(us):
+    return pa.array(np.asarray(us, dtype=np.int64), type=pa.timestamp("us"))
+
+
+def test_asof_join_semantics():
+    from ray_linkgraph.ops import joins
+    # left: user 1 events at t=10, 20; user 2 at t=5; user 3 at t=50
+    left = pa.table({"event_id": pa.array([100, 101, 102, 103], pa.int64()),
+                     "ts": _ts([10, 20, 5, 50]),
+                     "user_id": pa.array([1, 1, 2, 3], pa.int64())})
+    # right: user 1 at t=10 (ids 7 and 9: tie -> max id), t=15;
+    #        user 2 at t=6 (after left's t=5 -> unmatched)
+    right = pa.table({"event_id": pa.array([7, 9, 8, 6], pa.int64()),
+                      "ts": _ts([10, 10, 15, 6]),
+                      "user_id": pa.array([1, 1, 1, 2], pa.int64())})
+    out = joins.asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                          by="user_id", on="ts", right_val="event_id",
+                          out_col="prior_event_id", n_buckets=4
+                          ).to_pandas().sort_values("event_id")
+    assert out["prior_event_id"].tolist() == [9, 8, -1, -1]
+    assert out["event_id"].dtype == np.int64  # no float upcast leak
+    # bucket count must not change results
+    out2 = joins.asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                           by="user_id", on="ts", right_val="event_id",
+                           out_col="prior_event_id", n_buckets=1
+                           ).to_pandas().sort_values("event_id")
+    assert out2["prior_event_id"].tolist() == [9, 8, -1, -1]
+
+
+def test_band_join_count_semantics():
+    from ray_linkgraph.ops import joins
+    band = 100
+    # left at t=1000; right at 899 (out), 900 (in, inclusive), 1100 (in),
+    # 1101 (out); second left at t=5000 with nothing near
+    left = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                     "ts": _ts([1000, 5000])})
+    right = pa.table({"event_id": pa.array([10, 11, 12, 13], pa.int64()),
+                      "ts": _ts([899, 900, 1100, 1101])})
+    out = joins.band_join_count(rd.from_arrow(left), rd.from_arrow(right),
+                                on="ts", band_us=band, left_key="event_id",
+                                out_col="n").to_pandas().sort_values("event_id")
+    assert out["n"].tolist() == [2, 0]
+    # boundary rows sit in adjacent buckets -> exercises replication
+    assert len(out) == 2
