@@ -15,7 +15,7 @@ import ray.data
 
 from .._util import read_parquet_nm
 
-from . import dedup, events, joins, multimodal, pipelines, similarity, text, texthash  # noqa: F401 — imported at module scope so __ray_entry__'s by-value cloudpickle registration covers every worker-visible module
+from . import dedup, events, joins, multimodal, pipelines, sample, similarity, text, texthash  # noqa: F401 — imported at module scope so __ray_entry__'s by-value cloudpickle registration covers every worker-visible module
 
 EMB_NEARDUP_T = 0.45   # gate threshold (test embeddings max pair cos ~0.51)
 KNN_K = 5
@@ -105,6 +105,21 @@ def q_range_join_5m(sf_dir):
                                  on="ts", band_us=300_000_000,
                                  left_key="event_id",
                                  out_col="n_near_errors")
+
+
+VOCAB_K = 50
+SAMPLE_RATES = {"en": 40, "de": 25, "fr": 10}
+SAMPLE_SEED = 73
+
+
+def q_vocab_topk(sf_dir):
+    return text.vocab_topk(_docs(sf_dir), k=VOCAB_K)
+
+
+def q_stratified_sample(sf_dir):
+    ds = read_parquet_nm(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    return sample.stratified_hash_sample(ds, SAMPLE_RATES, SAMPLE_SEED)
 
 
 def q_minhash_dedup(sf_dir):
@@ -437,6 +452,8 @@ def queries():
         "sessionize_30m": q_sessionize,
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_5m": q_range_join_5m,
+        "vocab_top50": q_vocab_topk,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh_dedup": q_minhash_dedup,
         "simhash_neardup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
@@ -507,6 +524,15 @@ SELECT p.event_id, count(e.event_id) AS n_near_errors
 FROM p LEFT JOIN e
   ON e.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
 GROUP BY p.event_id ORDER BY p.event_id""",
+        "vocab_top50": rf"""
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '\w+')) AS token
+             FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+SELECT token, n, rank FROM r WHERE rank <= {VOCAB_K} ORDER BY rank""",
+        "stratified_sample": sample.sql_stratified_sample(
+            SAMPLE_RATES, SAMPLE_SEED),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_lsh_dedup": _minhash_sql(),
         "simhash_neardup": _simhash_sql(),

@@ -480,3 +480,35 @@ def test_band_join_count_semantics():
     assert out["n"].tolist() == [2, 0]
     # boundary rows sit in adjacent buckets -> exercises replication
     assert len(out) == 2
+
+
+def test_vocab_topk():
+    texts = ["aa bb aa cc", "bb aa", "dd! aa, bb?", ""]
+    out = text.vocab_topk(docs_ds(texts), k=3).to_pandas()
+    assert out["token"].tolist() == ["aa", "bb", "cc"]  # cc ties dd -> asc
+    assert out["n"].tolist() == [4, 3, 1]
+    assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_stratified_hash_sample_deterministic():
+    from ray_linkgraph.ops import sample
+    from ray_linkgraph._util import hash_u64
+    t = pa.table({"doc_id": pa.array(range(1000), type=pa.int64()),
+                  "lang": pa.array((["en", "de", "zz"] * 334)[:1000],
+                                   type=pa.string())})
+    rates = {"en": 50, "de": 10}
+    out = sample.stratified_hash_sample(rd.from_arrow(t), rates, seed=9) \
+        .to_pandas().sort_values("doc_id")
+    # exact replay of the contract
+    ids = np.arange(1000, dtype=np.uint64)
+    h = hash_u64(np.uint64(9), ids) % np.uint64(100)
+    langs = np.array((["en", "de", "zz"] * 334)[:1000])
+    keep = ((langs == "en") & (h < 50)) | ((langs == "de") & (h < 10))
+    assert out["doc_id"].tolist() == list(np.flatnonzero(keep))
+    # unlisted stratum fully dropped
+    assert not (out["lang"] == "zz").any()
+    # identical across chunkings
+    out2 = sample.stratified_hash_sample(
+        rd.from_arrow(t).repartition(7), rates, seed=9) \
+        .to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
