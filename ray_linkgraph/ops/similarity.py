@@ -23,6 +23,16 @@ def _normalize(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
 
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy flatten
+    (no per-row Python lists)."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
 class BatchTopK:
     """Stateful stage: query matrix fetched once per actor."""
 
@@ -35,8 +45,7 @@ class BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
-        vecs = _normalize(np.stack(batch.column(self.vec_col).to_pylist())
-                          .astype(np.float64))
+        vecs = _normalize(_vec_matrix(batch, self.vec_col))
         sims = self.q @ vecs.T                      # (Q, B)
         k = min(self.k, sims.shape[1])
         # local top-k per query with deterministic (sim desc, id asc) order
@@ -115,8 +124,7 @@ def ivf_index(emb_ds, n_centroids: int = 16, seed: int = 11,
     cents = train_centroids(emb_ds, n_centroids, seed, vec_col=vec_col)
 
     def assign(batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.stack(batch.column(vec_col).to_pylist())
-                          .astype(np.float64))
+        vecs = _normalize(_vec_matrix(batch, vec_col))
         b = np.argmax(vecs @ cents.T, axis=1)
         return _strip_schema_meta(
             batch.append_column("bucket", pa.array(b.astype(np.int64))))
