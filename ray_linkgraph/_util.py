@@ -58,6 +58,17 @@ def read_parquet_nm(paths, **kwargs):
             _strip_schema_meta, batch_format="pyarrow", batch_size=None)
 
 
+def vec_matrix(batch, vec_col: str):
+    """list<float> column -> (n, d) float64 matrix via zero-copy flatten
+    (no per-row Python lists). Shared by the similarity and dedup ops."""
+    import pyarrow as pa
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
 def hash_u64(*streams: "np.ndarray | int") -> np.ndarray:
     """Combine integer streams (broadcastable arrays / scalars) into one
     deterministic uint64 stream."""

@@ -7,18 +7,24 @@ stage: ``pages → (src, dst) edges`` plus the byte-identical
 ``url → text`` invariant (BASELINE.json input_hint).
 
 Both extractors are fully vectorized Arrow kernel chains — no Python
-loop over rows and no ``to_pylist`` round trip.  The anchor pattern
-``<a href="([^"]*)">`` is decomposed into ``split_pattern`` on the fixed
-prefix + a bounded split on the closing quote + a ``starts_with('>')``
-validity check; this is exactly equivalent to the regex (the capture
-group excludes ``"``, so a match always ends at the FIRST quote after
-the prefix and is valid iff that quote is followed by ``>`` — any
-backtracking the regex engine would attempt cannot cross a quote).
-Paragraph extraction (``<p>(.*?)</p>`` DOTALL) is likewise decomposed
-via ``split_pattern``; for well-formed, non-nested paragraphs this is
-byte-identical (the pathological case where a ``<p>`` has no closing
-tag before the next ``<p>`` differs — the regex would span pieces —
-and tests pin equality against the regex on the synthetic corpus).
+loop over rows and no ``to_pylist`` round trip — and are EXACTLY
+equivalent to the regex contracts (``HREF_RE`` findall, ``TEXT_RE``
+findall-join), adversarial and randomized property tests included:
+
+* ``<a href="([^"]*)">``: split on the fixed prefix (which has no
+  self-border, so ``split_pattern`` finds every occurrence), then a
+  bounded split on the closing quote + ``starts_with('>')``. The
+  capture group excludes ``"``, so a match must end at the FIRST quote
+  at/after the prefix; that quote is either inside the piece (case A)
+  or is the trailing quote of the NEXT prefix occurrence itself
+  (case B — shared-quote overlap, capture = piece + ``<a href=``,
+  which consumes the next occurrence, so consecutive case-B candidates
+  alternate effective/suppressed).
+* ``<p>(.*?)</p>`` (DOTALL): the non-greedy body runs to the first
+  ``</p>`` anywhere after the ``<p>``, crossing later ``<p>``
+  occurrences — so captures are the ``<p>``-joined SEGMENTS of split
+  pieces ending at each closed piece; trailing close-less segments
+  never match.
 
 They are callable classes (actor-pool stages) so per-actor setup stays
 the contract even though the vectorized path needs none.
@@ -77,15 +83,58 @@ class LinkExtractor:
         pieces = flat.take(pa.array(keep))
         row_ids = np.repeat(np.arange(len(nlens), dtype=np.int64), nlens)[keep]
 
+        n = len(pieces)
+        if n == 0:
+            return pa.table({"src": pa.array([], type=pa.string()),
+                             "dst": pa.array([], type=pa.string())})
         lst2 = pc.split_pattern(pieces, pattern=b'"', max_splits=1)
         flat2, l2, starts2 = _list_parts(lst2)
-        two = l2 == 2                            # a closing quote exists
-        rest = flat2.take(pa.array(starts2[two] + 1))
-        ok = pc.starts_with(rest, pattern=b">").to_numpy(zero_copy_only=False)
-        valid = np.flatnonzero(two)[ok]
-        dst = flat2.take(pa.array(starts2[valid])).cast(pa.string())
-        src = urls.take(pa.array(row_ids[valid]))
-        return pa.table({"src": src, "dst": dst})
+        has_q = l2 == 2                          # a closing quote exists
+        # case A: the piece's first quote is followed by '>'
+        ok_a = np.zeros(n, dtype=bool)
+        rest = flat2.take(pa.array(starts2[has_q] + 1))
+        ok_a[has_q] = pc.starts_with(rest, pattern=b">") \
+            .to_numpy(zero_copy_only=False)
+        # case B (shared-quote overlap): the piece has NO quote and the
+        # NEXT prefix occurrence's own trailing quote closes the match —
+        # i.e. the next piece (same row) begins with '>'. The regex
+        # capture is then piece + '<a href=' (prefix minus its quote);
+        # the whole next prefix is consumed, so the next piece must not
+        # produce a match of its own (suppression). The prefix has no
+        # self-border, so split_pattern found every occurrence and
+        # consecutive-candidate runs alternate effective/suppressed.
+        begins_gt = pc.starts_with(pieces, pattern=b">") \
+            .to_numpy(zero_copy_only=False)
+        next_same_row = np.r_[row_ids[1:] == row_ids[:-1], False]
+        cand_b = (~has_q) & next_same_row & np.r_[begins_gt[1:], False]
+        idx = np.arange(n)
+        run_start = cand_b & np.r_[True, ~cand_b[:-1]]
+        start_of_run = np.maximum.accumulate(np.where(run_start, idx, -1))
+        eff_b = cand_b & (((idx - start_of_run) % 2) == 0)
+        suppressed = np.r_[False, eff_b[:-1]]
+        match_a = ok_a & ~suppressed
+
+        idx_a = np.flatnonzero(match_a)
+        idx_b = np.flatnonzero(eff_b)
+        dst_a = flat2.take(pa.array(starts2[idx_a]))
+        if len(idx_b):
+            dst_b = pc.binary_join_element_wise(
+                pieces.take(pa.array(idx_b)),
+                pa.scalar(ANCHOR_PREFIX[:-1], type=pa.binary()),
+                pa.scalar(b"", type=pa.binary()))
+            all_idx = np.concatenate([idx_a, idx_b])
+            order = np.argsort(all_idx, kind="stable")
+            dst = pa.concat_arrays([dst_a.combine_chunks()
+                                    if isinstance(dst_a, pa.ChunkedArray)
+                                    else dst_a,
+                                    dst_b.combine_chunks()
+                                    if isinstance(dst_b, pa.ChunkedArray)
+                                    else dst_b]).take(pa.array(order))
+            rows = all_idx[order]
+        else:
+            dst, rows = dst_a, idx_a
+        src = urls.take(pa.array(row_ids[rows]))
+        return pa.table({"src": src, "dst": dst.cast(pa.string())})
 
 
 class TextExtractor:
@@ -108,25 +157,55 @@ class TextExtractor:
                              "text": pa.array([], type=pa.string())})
         lst = pc.split_pattern(html, pattern=b"<p>")
         flat, nlens, starts = _list_parts(lst)
+        n_rows = len(nlens)
         mask = np.ones(len(flat), dtype=bool)
         mask[starts] = False
         keep = np.flatnonzero(mask)
         pieces = flat.take(pa.array(keep))
-        row_ids = np.repeat(np.arange(len(nlens), dtype=np.int64), nlens)[keep]
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), nlens)[keep]
+        n = len(pieces)
+
+        def _row_join(items, item_rows):
+            counts = np.bincount(item_rows, minlength=n_rows) \
+                .astype(np.int64)
+            offs = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            grouped = pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()),
+                items.cast(pa.large_binary()))
+            return pc.binary_join(grouped,
+                                  pa.scalar(b"", type=pa.large_binary()))
+
+        if n == 0:
+            joined = _row_join(pa.array([], type=pa.binary()),
+                               np.zeros(0, dtype=np.int64))
+            return pa.table({"url": batch.column("url"),
+                             "text": joined.cast(pa.string())})
 
         lst2 = pc.split_pattern(pieces, pattern=b"</p>", max_splits=1)
         flat2, l2, starts2 = _list_parts(lst2)
-        two = l2 == 2                            # closing tag exists
-        contents = flat2.take(pa.array(starts2[two]))
-        rows = row_ids[two]                      # nondecreasing by construction
-        counts = np.bincount(rows, minlength=len(nlens)).astype(np.int64)
-        offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
+        has_close = l2 == 2
+        # contribution of every piece: its pre-</p> content when closed,
+        # the WHOLE piece otherwise (split with no match returns [piece],
+        # so flat2[starts2] covers both cases). A regex match spans from
+        # a '<p>' through the FIRST '</p>' anywhere after it — crossing
+        # later '<p>' occurrences — so captures are the '<p>'-joined
+        # SEGMENTS of pieces that end at the next closed piece; trailing
+        # segments with no close never match.
+        contrib = flat2.take(pa.array(starts2))
+        row_change = np.r_[True, row_ids[1:] != row_ids[:-1]]
+        seg_start = row_change | np.r_[False, has_close[:-1]]
+        seg_offs = np.r_[np.flatnonzero(seg_start), n].astype(np.int64)
+        terminal = has_close[seg_offs[1:] - 1]   # segment ends at a close
+        seg_rows = row_ids[seg_offs[:-1]]
         grouped = pa.LargeListArray.from_arrays(
-            pa.array(offs, type=pa.int64()),
-            contents.cast(pa.large_binary()))
-        joined = pc.binary_join(grouped,
-                                pa.scalar(b"", type=pa.large_binary()))
+            pa.array(seg_offs, type=pa.int64()),
+            contrib.cast(pa.large_binary()))
+        captures = pc.binary_join(grouped,
+                                  pa.scalar(b"<p>", type=pa.large_binary()))
+        keep_t = np.flatnonzero(terminal)
+        joined = _row_join(captures.take(pa.array(keep_t)),
+                           seg_rows[keep_t])
         return pa.table({"url": batch.column("url"),
                          "text": joined.cast(pa.string())})
 

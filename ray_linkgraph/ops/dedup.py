@@ -386,10 +386,9 @@ def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=(1, 8),
 # ---------------------------------------------------------------------------
 
 def _norm_rows(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
-    col = batch.column(vec_col).combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    from .._util import vec_matrix
     n = len(batch)
-    vecs = flat.reshape(n, -1)
+    vecs = vec_matrix(batch, vec_col)
     vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     offs = pa.array(np.arange(n + 1) * vecs.shape[1], type=pa.int32())
     return pa.table({

@@ -59,7 +59,6 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
     lschema = left_ds.schema()
     left_cols = list(lschema.names)
     left_types = dict(zip(lschema.names, lschema.types))
-    extra_cols = [c for c in left_cols if c not in (by, on)]
 
     def _bucket(t: pa.Table) -> pa.Array:
         b = (hash_u64(t.column(by).to_numpy().astype(np.uint64))
@@ -75,9 +74,18 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
 
     def tag_right(t: pa.Table) -> pa.Table:
         # same schema (and column order) as tag_left so union blocks
-        # unify: left-only columns are null-filled on the right side
-        cols = {c: (t.column(c) if c in (by, on)
-                    else pa.nulls(len(t), type=left_types[c]))
+        # unify. Left-only INTEGER columns get a zero FILLER (never
+        # read: group() drops right rows) rather than nulls — nulls
+        # would upcast the combined pandas frame to float64, silently
+        # corrupting int64 values above 2^53; other types keep nulls
+        # (NaN/NaT/None round-trip without loss for dropped rows).
+        def filler(c):
+            typ = left_types[c]
+            if pa.types.is_integer(typ):
+                return pa.array(np.zeros(len(t), dtype=np.int64)).cast(typ)
+            return pa.nulls(len(t), type=typ)
+
+        cols = {c: (t.column(c) if c in (by, on) else filler(c))
                 for c in left_cols}
         cols["_rv"] = t.column(right_val).cast(pa.int64())
         cols["_b"] = _bucket(t)
@@ -100,16 +108,21 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
         # deterministic tie-break: keep max _rv per (by, on)
         r = (r.sort_values([by, on, "_rv"], kind="stable")
              .drop_duplicates([by, on], keep="last")
-             .sort_values([on, by], kind="stable"))
-        m = pd.merge_asof(l, r[[by, on, "_rv"]], on=on, by=by,
+             .sort_values([on, by], kind="stable")
+             .reset_index(drop=True))
+        # merge on the right ROW POSITION, not _rv: merge_asof emits
+        # NaN for unmatched rows, and a float64 round-trip would corrupt
+        # int64 values above 2^53. Positions are small, so their float
+        # round-trip is exact; _rv is then gathered losslessly.
+        r = r.assign(_ridx=np.arange(len(r), dtype=np.int64))
+        m = pd.merge_asof(l, r[[by, on, "_ridx"]], on=on, by=by,
                           direction="backward", allow_exact_matches=True)
         out = m[left_cols].copy()
-        out[out_col] = m["_rv"].fillna(unmatched).astype(np.int64)
-        # the union's null-filled right rows upcast left int columns to
-        # float64 in the combined frame; restore the declared dtypes
-        for c in extra_cols:
-            if pa.types.is_integer(left_types[c]):
-                out[c] = out[c].astype(np.int64)
+        ridx = m["_ridx"].to_numpy()
+        miss = np.isnan(ridx)
+        safe = np.where(miss, 0, ridx).astype(np.int64)
+        rv = r["_rv"].to_numpy()[safe]
+        out[out_col] = np.where(miss, unmatched, rv).astype(np.int64)
         return out
 
     return (lt.union(rt)

@@ -16,21 +16,12 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .._util import hash_u64, read_parquet_nm, _strip_schema_meta
+from .._util import (hash_u64, read_parquet_nm, _strip_schema_meta,
+                      vec_matrix as _vec_matrix)
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-
-
-def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix, zero-copy flatten
-    (no per-row Python lists)."""
-    col = batch.column(vec_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(len(batch), -1)
 
 
 class BatchTopK:

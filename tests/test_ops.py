@@ -465,6 +465,25 @@ def test_asof_join_semantics():
     assert out2["prior_event_id"].tolist() == [9, 8, -1, -1]
 
 
+def test_asof_join_exact_beyond_2_53():
+    """Snowflake-scale int64 ids must survive the join exactly (no
+    float64 round-trip on either the left ids or the matched values)."""
+    from ray_linkgraph.ops import joins
+    big = (1 << 53) + 1                         # not float64-representable
+    left = pa.table({"event_id": pa.array([big, big + 2], pa.int64()),
+                     "ts": _ts([100, 5]),
+                     "user_id": pa.array([1, 1], pa.int64())})
+    right = pa.table({"event_id": pa.array([big + 4], pa.int64()),
+                      "ts": _ts([50]),
+                      "user_id": pa.array([1], pa.int64())})
+    out = joins.asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                          by="user_id", on="ts", right_val="event_id",
+                          out_col="prior_event_id", n_buckets=2
+                          ).to_pandas().sort_values("ts")
+    assert out["event_id"].tolist() == [big + 2, big]
+    assert out["prior_event_id"].tolist() == [-1, big + 4]
+
+
 def test_band_join_count_semantics():
     from ray_linkgraph.ops import joins
     band = 100

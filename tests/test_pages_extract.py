@@ -76,8 +76,15 @@ def test_vectorized_extractors_match_regex_semantics():
         b'<a href="<a href="x">',                   # back-to-back prefixes
         b'<a href="a"x<a href="b">',                # reject then accept
         b'<a href="">',                             # empty href
+        b'<a href="x<a href=">',                    # shared-quote overlap (case B)
+        b'<a href="x<a href=">ok"> tail',           # case B consumes next prefix
+        b'<a href="a<a href="<a href=">',           # case-B suppression chain
+        b'<a href="x<a href="y<a href=">',          # alternating case-B run
+        b'<a href="<a href="<a href="<a href=">',   # long suppression run
         b'<p>alpha</p><a href="u1"><a href="u2">',  # normal-ish page
         b"<p>open no close",                        # paragraph never closed
+        b"<p>a<p>b</p>",                            # unclosed spans next piece
+        b"<p>a<p>b<p>c</p>d</p>",                   # nested-ish span + stray close
         b"<p></p><p>two</p>",                       # empty + nonempty paragraph
         b"text <p>a</p> mid <p>b</p> end",          # multiple paragraphs
     ]
@@ -97,17 +104,42 @@ def test_vectorized_extractors_match_regex_semantics():
     assert got.column("src").to_pylist() == exp_src
     assert got.column("dst").to_pylist() == exp_dst
 
-    # TEXT_RE equivalence holds for inputs whose <p> runs are all closed
-    # before the next <p> opens (the documented well-formedness contract);
-    # adversarial case 11 ("<p>open no close") is the known divergence and
-    # excluded here.
-    wf = [h for h in adversarial if h != b"<p>open no close"]
-    wf_urls = urls[: len(wf)]
-    batch2 = pa.table({"url": pa.array(wf_urls, type=pa.string()),
-                       "html": pa.array(wf, type=pa.binary())})
-    got2 = TextExtractor()(batch2)
-    exp_texts = [b"".join(para.findall(h)).decode("utf-8") for h in wf]
+    got2 = TextExtractor()(batch)
+    exp_texts = [b"".join(para.findall(h)).decode("utf-8")
+                 for h in adversarial]
     assert got2.column("text").to_pylist() == exp_texts
+
+
+def test_extractors_match_regex_randomized():
+    """Property check: on random soups of the grammar's tokens, both
+    vectorized extractors equal the regex contracts byte-for-byte."""
+    import random
+    import re
+    import pyarrow as pa
+    from ray_linkgraph.extract import HREF_RE, TEXT_RE
+
+    rng = random.Random(20260817)
+    tokens = [b'<a href="', b'"', b'">', b">", b"<p>", b"</p>",
+              b"x", b"ab", b"<a href=", b"<", b""]
+    htmls = [b"".join(rng.choice(tokens)
+                      for _ in range(rng.randrange(0, 24)))
+             for _ in range(500)]
+    urls = [f"u{i}" for i in range(len(htmls))]
+    batch = pa.table({"url": pa.array(urls, type=pa.string()),
+                      "html": pa.array(htmls, type=pa.binary())})
+
+    href = re.compile(HREF_RE, re.S)
+    para = re.compile(TEXT_RE, re.S)
+
+    got = LinkExtractor()(batch)
+    exp = [(u, m.decode()) for u, h in zip(urls, htmls)
+           for m in href.findall(h)]
+    assert list(zip(got.column("src").to_pylist(),
+                    got.column("dst").to_pylist())) == exp
+
+    got2 = TextExtractor()(batch)
+    exp2 = [b"".join(para.findall(h)).decode() for h in htmls]
+    assert got2.column("text").to_pylist() == exp2
 
 
 def test_link_extraction_matches_generator():
