@@ -73,6 +73,7 @@ def _edges_both_ds(graph: Graph):
 
 
 LARGE_GRAPH_V = 20_000_000   # above this the join route is the default
+LOCAL_EDGES_MAX = 2_000_000  # at/below: whole round loop is driver numpy
 
 
 def louvain_communities(graph: Graph, max_rounds: int = 10,
@@ -115,11 +116,40 @@ def _local_moving_bcast(edges, V, k_v, two_m, max_rounds,
     with its node, so it cancels from every gain comparison and must
     only appear in the supplied ``k_v`` degrees). Returns the final
     label array. The broadcast tables are V-bounded; the edge pass is
-    distributed map-side-combined partials."""
+    distributed map-side-combined partials.
+
+    Edge sets at or below LOCAL_EDGES_MAX rows are pulled to the driver
+    ONCE and the whole round loop runs as plain numpy — a Ray Data job
+    per round costs ~1 s of fixed overhead regardless of size, which
+    dominates at gate scale and on contracted multilevel graphs; the
+    distributed per-round edge pass (identical lexsort/reduceat math,
+    bit-identical labels) is preserved above the threshold."""
     labels = np.arange(V, dtype=np.int64)
+
+    local = None
+    if edges.count() <= LOCAL_EDGES_MAX:
+        t = _collect(edges)
+        if t is not None:
+            local = (t.column("src_id").to_numpy().astype(np.int64),
+                     t.column("dst_id").to_numpy().astype(np.int64),
+                     t.column("weight").to_numpy())
 
     for _ in range(max_rounds):
         tot = np.bincount(labels, weights=k_v, minlength=V)
+        if local is not None:
+            lv, ld, lw = local
+            lc = labels[ld]
+            lo = np.lexsort((lc, lv))
+            v2l, c2l, w2l = lv[lo], lc[lo], lw[lo]
+            runs = np.r_[0, np.flatnonzero(
+                (np.diff(v2l) != 0) | (np.diff(c2l) != 0)) + 1]
+            n2, c2 = v2l[runs], c2l[runs]
+            kvc = np.add.reduceat(w2l, runs)
+            moved = _apply_moves(labels, k_v, tot, two_m, n2, c2, kvc)
+            if moved is None:
+                break
+            labels = moved
+            continue
         ref = ray.put((labels, k_v, tot))
 
         def gain_pass(t: pa.Table) -> pa.Table:
@@ -165,29 +195,41 @@ def _local_moving_bcast(edges, V, k_v, two_m, max_rounds,
             n2 = kvc_tbl.column("node").to_numpy().astype(np.int64)
             c2 = kvc_tbl.column("cand").to_numpy().astype(np.int64)
             kvc = kvc_tbl.column("kvc").to_numpy()
-        cur2 = labels[n2]
-        tot_adj = tot[c2] - np.where(c2 == cur2, k_v[n2], 0.0)
-        g2 = kvc - k_v[n2] * tot_adj / two_m
-        # best candidate per node, ties (gain desc, cand asc)
-        o2 = np.lexsort((c2, -g2, n2))
-        n3, c3, g3 = n2[o2], c2[o2], g2[o2]
-        first = np.r_[0, np.flatnonzero(np.diff(n3) != 0) + 1]
-        best_n, best_c, best_g = n3[first], c3[first], g3[first]
-        # staying gain: the (node, cur) row when it exists, else the
-        # closed form with k_{v,cur} = 0
-        cur_b = labels[best_n]
-        stay = -k_v[best_n] * (tot[cur_b] - k_v[best_n]) / two_m
-        is_cur = c2 == cur2
-        if is_cur.any():
-            pos = np.searchsorted(best_n, n2[is_cur])
-            stay[pos] = g2[is_cur]
-        do = (best_g > stay + 1e-15) & (best_c != cur_b)
-        if not do.any():
+        moved = _apply_moves(labels, k_v, tot, two_m, n2, c2, kvc)
+        if moved is None:
             break
-        labels = labels.copy()
-        labels[best_n[do]] = best_c[do]
+        labels = moved
 
     return labels
+
+
+def _apply_moves(labels, k_v, tot, two_m, n2, c2, kvc):
+    """One round's move decision over the reduced (node, cand, kvc)
+    rows. Returns the new label array, or None when nothing moves
+    (convergence). Shared verbatim by the driver-local and distributed
+    broadcast paths so they stay bit-identical."""
+    cur2 = labels[n2]
+    tot_adj = tot[c2] - np.where(c2 == cur2, k_v[n2], 0.0)
+    g2 = kvc - k_v[n2] * tot_adj / two_m
+    # best candidate per node, ties (gain desc, cand asc)
+    o2 = np.lexsort((c2, -g2, n2))
+    n3, c3, g3 = n2[o2], c2[o2], g2[o2]
+    first = np.r_[0, np.flatnonzero(np.diff(n3) != 0) + 1]
+    best_n, best_c, best_g = n3[first], c3[first], g3[first]
+    # staying gain: the (node, cur) row when it exists, else the
+    # closed form with k_{v,cur} = 0
+    cur_b = labels[best_n]
+    stay = -k_v[best_n] * (tot[cur_b] - k_v[best_n]) / two_m
+    is_cur = c2 == cur2
+    if is_cur.any():
+        pos = np.searchsorted(best_n, n2[is_cur])
+        stay[pos] = g2[is_cur]
+    do = (best_g > stay + 1e-15) & (best_c != cur_b)
+    if not do.any():
+        return None
+    out = labels.copy()
+    out[best_n[do]] = best_c[do]
+    return out
 
 
 def _coalesce_moves(t: pa.Table) -> pa.Table:
@@ -315,6 +357,11 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
     but are excluded from the gain pass, where they cancel exactly.
     Community ids stay in original-node-id space at every level.
 
+    Edge sets at/below LOCAL_EDGES_MAX skip the actor-pool joins: the
+    labels and edges are collected once and the contraction + label
+    update run as driver numpy (identical lexsort/reduceat math; each
+    join pool otherwise costs seconds of fixed startup per level).
+
     -> Dataset(node, community)."""
     from .._util import drop_empty_blocks
 
@@ -330,22 +377,49 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
     if two_m == 0:
         return lab_ds
 
+    local = edges.count() <= LOCAL_EDGES_MAX
+    if local:
+        et = _collect(edges)
+        lt = _collect(lab_ds)
+        les = et.column("src_id").to_numpy().astype(np.int64)
+        led = et.column("dst_id").to_numpy().astype(np.int64)
+        lew = et.column("weight").to_numpy()
+        lnodes = lt.column("node").to_numpy().astype(np.int64)
+        lcomm = lt.column("community").to_numpy().astype(np.int64).copy()
+        node_pos = np.empty(int(lnodes.max()) + 1 if len(lnodes) else 0,
+                            dtype=np.int64)
+        node_pos[lnodes] = np.arange(len(lnodes))
+
     for _lvl in range(1, levels):
-        e1 = drop_empty_blocks(edges).join(
-            lab_ds.rename_columns({"node": "snode", "community": "ca"}),
-            "inner", num_partitions=num_partitions,
-            on=("src_id",), right_on=("snode",))
-        e2 = drop_empty_blocks(e1).join(
-            lab_ds.rename_columns({"node": "dnode", "community": "cb"}),
-            "inner", num_partitions=num_partitions,
-            on=("dst_id",), right_on=("dnode",))
-        ct = _collect(e2.groupby(["ca", "cb"])
-                      .aggregate(Sum("weight", alias_name="weight")))
-        if ct is None:
-            break
-        ca = ct.column("ca").to_numpy().astype(np.int64)
-        cb = ct.column("cb").to_numpy().astype(np.int64)
-        cw = ct.column("weight").to_numpy()
+        if local:
+            # driver-side contraction: groupby (ca, cb) sum via
+            # lexsort/reduceat over the (small) collected edge list
+            eca = lcomm[node_pos[les]]
+            ecb = lcomm[node_pos[led]]
+            if len(eca) == 0:
+                break
+            oc = np.lexsort((ecb, eca))
+            sa, sb, sw = eca[oc], ecb[oc], lew[oc]
+            runs = np.r_[0, np.flatnonzero((np.diff(sa) != 0) |
+                                           (np.diff(sb) != 0)) + 1]
+            ca, cb = sa[runs], sb[runs]
+            cw = np.add.reduceat(sw, runs)
+        else:
+            e1 = drop_empty_blocks(edges).join(
+                lab_ds.rename_columns({"node": "snode", "community": "ca"}),
+                "inner", num_partitions=num_partitions,
+                on=("src_id",), right_on=("snode",))
+            e2 = drop_empty_blocks(e1).join(
+                lab_ds.rename_columns({"node": "dnode", "community": "cb"}),
+                "inner", num_partitions=num_partitions,
+                on=("dst_id",), right_on=("dnode",))
+            ct = _collect(e2.groupby(["ca", "cb"])
+                          .aggregate(Sum("weight", alias_name="weight")))
+            if ct is None:
+                break
+            ca = ct.column("ca").to_numpy().astype(np.int64)
+            cb = ct.column("cb").to_numpy().astype(np.int64)
+            cw = ct.column("weight").to_numpy()
         uniq = np.unique(np.r_[ca, cb])          # communities WITH edges
         nc = len(uniq)
         da, db = np.searchsorted(uniq, ca), np.searchsorted(uniq, cb)
@@ -363,6 +437,14 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
             small_edges=int(nonself.sum()) <= 5_000_000)
         if (labs2 == np.arange(nc)).all():
             break                                 # nothing merged
+        if local:
+            # edgeless singleton communities are absent from uniq: keep
+            # their label (same semantics as the left_outer + coalesce)
+            pos = np.searchsorted(uniq, lcomm)
+            pos_c = np.minimum(pos, nc - 1)
+            hit = uniq[pos_c] == lcomm
+            lcomm = np.where(hit, uniq[labs2][pos_c], lcomm)
+            continue
         move_map = ray.data.from_arrow(pa.table({
             "mcomm": pa.array(uniq),
             "new_comm": pa.array(uniq[labs2])}))
@@ -382,4 +464,8 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
             on=("community",), right_on=("mcomm",)) \
             .map_batches(coalesce, batch_format="pyarrow").materialize()
 
+    if local:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(lnodes),
+            "community": pa.array(lcomm.astype(np.int64))}))
     return lab_ds
