@@ -132,11 +132,14 @@ class _CandidateShingles:
     broadcast once (ray.put) and read per actor, the corpus streams."""
 
     def __init__(self, cand_ref):
-        self.cand = ray.get(cand_ref)   # sorted int64 array
+        self.cand_ref = cand_ref        # resolved lazily on the worker
+        self._cand = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._cand is None:
+            self._cand = ray.get(self.cand_ref)   # zero-copy plasma read
         ids = batch.column("doc_id").to_numpy()
-        keep = np.isin(ids, self.cand)
+        keep = np.isin(ids, self._cand)
         if not keep.any():
             return pa.table({
                 "doc_id": pa.array([], type=pa.int64()),
@@ -257,8 +260,10 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
     the driver.
     """
     docs_ds = docs_ds.materialize()   # read once, reuse for 2 passes
-    bands = docs_ds.map_batches(MinHashStage, batch_format="pyarrow",
-                                concurrency=concurrency)
+    # instances, not classes: these stages are stateless (the perm /
+    # power tables are module-level per-process caches), so task pools
+    # reuse warm workers and skip the per-query actor-pool startup
+    bands = docs_ds.map_batches(MinHashStage(), batch_format="pyarrow")
     pairs_tbl = _pairs_table(_band_pairs(bands))
     if pairs_tbl.num_rows == 0:
         labels = connected_components(ray.data.from_arrow(pairs_tbl))
@@ -267,9 +272,8 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
     cand = np.unique(np.concatenate([pairs_tbl.column("a").to_numpy(),
                                      pairs_tbl.column("b").to_numpy()]))
     cand_ref = ray.put(cand)
-    shingles = docs_ds.map_batches(
-        _CandidateShingles, fn_constructor_args=(cand_ref,),
-        batch_format="pyarrow", concurrency=concurrency)
+    shingles = docs_ds.map_batches(_CandidateShingles(cand_ref),
+                                   batch_format="pyarrow")
 
     if pairs_tbl.num_rows <= VERIFY_SINGLE_TASK_MAX:
         # small candidate set: verify in one task over the (sparse)
@@ -347,8 +351,7 @@ def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=(1, 8),
     quarter — pigeonhole over 4 bands) with vectorized-popcount Hamming
     verification inside each bucket's group task."""
     docs_ds = docs_ds.materialize()
-    sigs = docs_ds.map_batches(SimHashStage, batch_format="pyarrow",
-                               concurrency=concurrency)
+    sigs = docs_ds.map_batches(SimHashStage(), batch_format="pyarrow")
 
     def quarters(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
