@@ -26,8 +26,9 @@ findall-join), adversarial and randomized property tests included:
   pieces ending at each closed piece; trailing close-less segments
   never match.
 
-They are callable classes (actor-pool stages) so per-actor setup stays
-the contract even though the vectorized path needs none.
+The stages are stateless, so ``extract_links``/``extract_text`` pass
+INSTANCES to ``map_batches`` — Ray schedules plain tasks on warm
+workers instead of paying an actor-pool startup per pipeline.
 """
 
 from __future__ import annotations
@@ -210,27 +211,23 @@ class TextExtractor:
                          "text": joined.cast(pa.string())})
 
 
-def _default_concurrency():
-    """Autoscaling actor-pool bounds sized to the cluster."""
-    import ray
-    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, n))
-
-
 def extract_links(pages, batch_size: int = 4096, concurrency=None):
     """pages Dataset -> edges Dataset (src:string, dst:string).
 
     Projects away all non-needed columns before the transform so shuffles
-    never carry html bytes (SURVEY.md §7 "what's hard" (f)).
+    never carry html bytes (SURVEY.md §7 "what's hard" (f)). The stage
+    is stateless (pure Arrow kernels), so an INSTANCE is passed and Ray
+    schedules warm task workers — no actor-pool startup; ``concurrency``
+    (when given) bounds concurrent tasks.
     """
     ds = pages.select_columns(["url", "html"])
-    return ds.map_batches(LinkExtractor, batch_format="pyarrow",
+    return ds.map_batches(LinkExtractor(), batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=concurrency or _default_concurrency())
+                          concurrency=concurrency)
 
 
 def extract_text(pages, batch_size: int = 4096, concurrency=None):
     ds = pages.select_columns(["url", "html"])
-    return ds.map_batches(TextExtractor, batch_format="pyarrow",
+    return ds.map_batches(TextExtractor(), batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=concurrency or _default_concurrency())
+                          concurrency=concurrency)

@@ -55,8 +55,7 @@ def q_quality(sf_dir):
 
 
 def q_langid(sf_dir):
-    return _docs(sf_dir).map_batches(text.LangId, batch_format="pyarrow",
-                                     concurrency=(1, 4))
+    return _docs(sf_dir).map_batches(text.LangId(), batch_format="pyarrow")
 
 
 def q_fingerprint(sf_dir):
