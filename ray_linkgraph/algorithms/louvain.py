@@ -119,20 +119,27 @@ def _local_moving_bcast(edges, V, k_v, two_m, max_rounds,
     distributed map-side-combined partials.
 
     Edge sets at or below LOCAL_EDGES_MAX rows are pulled to the driver
-    ONCE and the whole round loop runs as plain numpy — a Ray Data job
-    per round costs ~1 s of fixed overhead regardless of size, which
-    dominates at gate scale and on contracted multilevel graphs; the
-    distributed per-round edge pass (identical lexsort/reduceat math,
-    bit-identical labels) is preserved above the threshold."""
+    ONCE (or passed directly as numpy arrays) and the whole round loop
+    runs as plain numpy — a Ray Data job per round costs ~1 s of fixed
+    overhead regardless of size, which dominates at gate scale and on
+    contracted multilevel graphs; the distributed per-round edge pass
+    (the same lexsort/reduceat math) is preserved above the threshold.
+    Labels are bit-identical across the tiers when edge weights are
+    exact in float64 (integer weights — the gate graphs); for general
+    float weights the partial-sum ORDER differs between tiers, so a
+    gain tie within ~1e-15 could in principle resolve differently."""
     labels = np.arange(V, dtype=np.int64)
 
-    local = None
-    if edges.count() <= LOCAL_EDGES_MAX:
-        t = _collect(edges)
-        if t is not None:
-            local = (t.column("src_id").to_numpy().astype(np.int64),
-                     t.column("dst_id").to_numpy().astype(np.int64),
-                     t.column("weight").to_numpy())
+    if isinstance(edges, tuple):
+        local = edges                      # (src, dst, weight) arrays
+    else:
+        local = None
+        if edges.count() <= LOCAL_EDGES_MAX:
+            t = _collect(edges)
+            if t is not None:
+                local = (t.column("src_id").to_numpy().astype(np.int64),
+                         t.column("dst_id").to_numpy().astype(np.int64),
+                         t.column("weight").to_numpy())
 
     for _ in range(max_rounds):
         tot = np.bincount(labels, weights=k_v, minlength=V)
@@ -428,13 +435,19 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
         nonself = da != db
         if not nonself.any():
             break
-        contracted = ray.data.from_arrow(pa.table({
-            "src_id": pa.array(da[nonself]),
-            "dst_id": pa.array(db[nonself]),
-            "weight": pa.array(cw[nonself])}))
+        n_ns = int(nonself.sum())
+        if local or n_ns <= LOCAL_EDGES_MAX:
+            # contracted arrays are already on the driver: skip the
+            # object-store round-trip and hand them to the local tier
+            contracted = (da[nonself], db[nonself], cw[nonself])
+        else:
+            contracted = ray.data.from_arrow(pa.table({
+                "src_id": pa.array(da[nonself]),
+                "dst_id": pa.array(db[nonself]),
+                "weight": pa.array(cw[nonself])}))
         labs2 = _local_moving_bcast(
             contracted, nc, k_c, two_m, max_rounds,
-            small_edges=int(nonself.sum()) <= 5_000_000)
+            small_edges=n_ns <= 5_000_000)
         if (labs2 == np.arange(nc)).all():
             break                                 # nothing merged
         if local:

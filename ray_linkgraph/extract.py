@@ -211,6 +211,14 @@ class TextExtractor:
                          "text": joined.cast(pa.string())})
 
 
+def _task_cap(concurrency):
+    """Normalize a legacy actor-pool (min, max) tuple to a task cap —
+    task pools take a single int bound (tuples raise in Ray Data)."""
+    if isinstance(concurrency, tuple):
+        return concurrency[-1]
+    return concurrency
+
+
 def extract_links(pages, batch_size: int = 4096, concurrency=None):
     """pages Dataset -> edges Dataset (src:string, dst:string).
 
@@ -218,16 +226,17 @@ def extract_links(pages, batch_size: int = 4096, concurrency=None):
     never carry html bytes (SURVEY.md §7 "what's hard" (f)). The stage
     is stateless (pure Arrow kernels), so an INSTANCE is passed and Ray
     schedules warm task workers — no actor-pool startup; ``concurrency``
-    (when given) bounds concurrent tasks.
+    (int, or a legacy (min, max) tuple whose max is used) bounds
+    concurrent tasks.
     """
     ds = pages.select_columns(["url", "html"])
     return ds.map_batches(LinkExtractor(), batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=_task_cap(concurrency))
 
 
 def extract_text(pages, batch_size: int = 4096, concurrency=None):
     ds = pages.select_columns(["url", "html"])
     return ds.map_batches(TextExtractor(), batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=_task_cap(concurrency))

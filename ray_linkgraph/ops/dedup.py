@@ -251,7 +251,7 @@ def _verify_pairs_local(pairs_tbl: pa.Table, threshold: float,
 
 
 def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
-                      concurrency=(1, 8), num_partitions: int = 8):
+                      concurrency=None, num_partitions: int = 8):
     """-> Dataset(doc_id, cluster, is_duplicate).
 
     cluster = min doc_id of the verified near-dup component. Candidate
@@ -263,7 +263,10 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
     # instances, not classes: these stages are stateless (the perm /
     # power tables are module-level per-process caches), so task pools
     # reuse warm workers and skip the per-query actor-pool startup
-    bands = docs_ds.map_batches(MinHashStage(), batch_format="pyarrow")
+    from ..extract import _task_cap
+    cap = _task_cap(concurrency)
+    bands = docs_ds.map_batches(MinHashStage(), batch_format="pyarrow",
+                                concurrency=cap)
     pairs_tbl = _pairs_table(_band_pairs(bands))
     if pairs_tbl.num_rows == 0:
         labels = connected_components(ray.data.from_arrow(pairs_tbl))
@@ -273,7 +276,8 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
                                      pairs_tbl.column("b").to_numpy()]))
     cand_ref = ray.put(cand)
     shingles = docs_ds.map_batches(_CandidateShingles(cand_ref),
-                                   batch_format="pyarrow")
+                                   batch_format="pyarrow",
+                                   concurrency=cap)
 
     if pairs_tbl.num_rows <= VERIFY_SINGLE_TASK_MAX:
         # small candidate set: verify in one task over the (sparse)
@@ -344,14 +348,16 @@ class SimHashStage:
                          "simhash": pa.array(sh)})
 
 
-def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=(1, 8),
+def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=None,
                     num_partitions: int = 8):
     """-> Dataset(doc_id, cluster, is_duplicate) using 4x16-bit band
     buckets (any pair within Hamming<=3 shares at least one exact
     quarter — pigeonhole over 4 bands) with vectorized-popcount Hamming
     verification inside each bucket's group task."""
     docs_ds = docs_ds.materialize()
-    sigs = docs_ds.map_batches(SimHashStage(), batch_format="pyarrow")
+    from ..extract import _task_cap
+    sigs = docs_ds.map_batches(SimHashStage(), batch_format="pyarrow",
+                               concurrency=_task_cap(concurrency))
 
     def quarters(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
