@@ -115,6 +115,17 @@ def q_vocab_topk(sf_dir):
     return text.vocab_topk(_docs(sf_dir), k=VOCAB_K)
 
 
+TOPK_PER_LANG = 3
+
+
+def q_topk_per_lang(sf_dir):
+    """Top-3 documents per language by n_chars (ties -> min doc_id)."""
+    ds = read_parquet_nm(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "n_chars"])
+    return text.topk_per_group(ds, group_col="lang", order_col="n_chars",
+                               k=TOPK_PER_LANG, id_col="doc_id")
+
+
 def q_stratified_sample(sf_dir):
     ds = read_parquet_nm(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "lang"])
@@ -453,6 +464,7 @@ def queries():
         "range_join_5m": q_range_join_5m,
         "vocab_top50": q_vocab_topk,
         "stratified_sample": q_stratified_sample,
+        "topk_per_lang": q_topk_per_lang,
         "minhash_lsh_dedup": q_minhash_dedup,
         "simhash_neardup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
@@ -532,6 +544,14 @@ r AS (SELECT token, n,
 SELECT token, n, rank FROM r WHERE rank <= {VOCAB_K} ORDER BY rank""",
         "stratified_sample": sample.sql_stratified_sample(
             SAMPLE_RATES, SAMPLE_SEED),
+        "topk_per_lang": f"""
+WITH r AS (SELECT doc_id, lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id)
+                    AS rank
+           FROM documents)
+SELECT doc_id, lang, n_chars, rank FROM r
+WHERE rank <= {TOPK_PER_LANG} ORDER BY lang, rank""",
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_lsh_dedup": _minhash_sql(),
         "simhash_neardup": _simhash_sql(),

@@ -531,3 +531,20 @@ def test_stratified_hash_sample_deterministic():
         rd.from_arrow(t).repartition(7), rates, seed=9) \
         .to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+def test_topk_per_group():
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                  "lang": pa.array(["en", "en", "en", "en", "de", "de"]),
+                  "n_chars": pa.array([5, 9, 9, 1, 7, 7], pa.int64())})
+    out = text.topk_per_group(rd.from_arrow(t), "lang", "n_chars", k=2,
+                              id_col="doc_id").to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    # en: 9(id1), 9(id2) — tie broken by min id; de: both rows
+    assert out["doc_id"].tolist() == [4, 5, 1, 2]
+    assert out["rank"].tolist() == [1, 2, 1, 2]
+    # chunking must not change results (map-side prune is per batch)
+    out2 = text.topk_per_group(rd.from_arrow(t).repartition(5), "lang",
+                               "n_chars", k=2, id_col="doc_id") \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
