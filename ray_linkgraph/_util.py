@@ -60,13 +60,24 @@ def read_parquet_nm(paths, **kwargs):
 
 def vec_matrix(batch, vec_col: str):
     """list<float> column -> (n, d) float64 matrix via zero-copy flatten
-    (no per-row Python lists). Shared by the similarity and dedup ops."""
+    (no per-row Python lists). Shared by the similarity and dedup ops.
+
+    Rejects null / ragged rows explicitly: ``flatten()`` silently drops
+    null list entries, which would misalign every following row if the
+    flattened size happened to still divide (ADVICE.md)."""
     import pyarrow as pa
     col = batch.column(vec_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{vec_col!r} contains {col.null_count} null "
+                         f"embeddings; drop or impute them upstream")
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(len(batch), -1)
+    n = len(batch)
+    if n and flat.size % n:
+        raise ValueError(f"{vec_col!r} rows have varying dimensions "
+                         f"({flat.size} values / {n} rows)")
+    return flat.reshape(n, -1)
 
 
 def hash_u64(*streams: "np.ndarray | int") -> np.ndarray:

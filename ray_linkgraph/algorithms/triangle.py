@@ -24,9 +24,11 @@ Pipeline:
   3. shuffle oriented edges by src partition so ALL of a vertex's
      oriented out-neighbors are together; emit rank-ordered wedges
      (w1, w2, apex = center) plus the oriented edges (apex = -1);
-  4. shuffle by hash(w1, w2) bucket: pandas hash join wedges ⋈ oriented
-     edges inside each bucket, explode matches to one row per triangle
-     corner, and reduce to dense per-partition count arrays.
+  4. shuffle by hash(w1, w2) bucket: sorted-composite-key membership
+     join wedges ⋈ oriented edges inside each bucket (numpy searchsorted
+     — every stage stays in pyarrow group format, no pandas block
+     conversions), explode matches to one row per triangle corner, and
+     reduce to dense per-partition count arrays.
 """
 
 from __future__ import annotations
@@ -34,7 +36,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -102,27 +103,32 @@ def triangle_count(graph: Graph, n_buckets: int | None = None,
             batch.append_column("dst_part", pa.array(dp, type=pa.int64())))
 
     # ---- stage 2a: attach deg_dst + orient (grouped by dst partition) -----
-    def orient_group(df: pd.DataFrame) -> pd.DataFrame:
-        q = int(df["dst_part"].iloc[0])
+    # (pyarrow group format throughout — the r3 pandas map_groups hops
+    # cost a block conversion + schema-metadata strip per stage in the
+    # hottest join pipeline, VERDICT r3 item 3)
+    def orient_group(t: pa.Table) -> pa.Table:
+        q = int(t.column("dst_part")[0].as_py())
         deg_q = _part_degrees(gdir, part_size, V, q)
-        src = df["src"].to_numpy()
-        dst = df["dst"].to_numpy()
-        ds_ = df["deg_src"].to_numpy()
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        ds_ = t.column("deg_src").to_numpy()
         dd = deg_q[dst - q * part_size]
         fwd = (ds_ < dd) | ((ds_ == dd) & (src < dst))  # rank(src)<rank(dst)
-        return pd.DataFrame({"src": src[fwd], "dst": dst[fwd],
-                             "deg_dst": dd[fwd],
-                             "src_part": src[fwd] // part_size})
+        return pa.table({
+            "src": pa.array(src[fwd]),
+            "dst": pa.array(dst[fwd]),
+            "deg_dst": pa.array(dd[fwd]),
+            "src_part": pa.array(src[fwd] // part_size)})
 
     oriented = (e1.map_batches(add_dst_part, batch_format="pyarrow")
                 .groupby("dst_part")
-                .map_groups(orient_group, batch_format="pandas"))
+                .map_groups(orient_group, batch_format="pyarrow"))
 
     # ---- stage 2b: wedges — ALL of a src's oriented out-edges together ----
-    def wedges_group(df: pd.DataFrame) -> pd.DataFrame:
-        src = df["src"].to_numpy()
-        dst = df["dst"].to_numpy()
-        dd = df["deg_dst"].to_numpy()
+    def wedges_group(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        dd = t.column("deg_dst").to_numpy()
         # order each src segment by dst (deg, id) rank so each emitted
         # pair (w1, w2) is itself rank-oriented like the edges
         order = np.lexsort((dst, dd, src))
@@ -133,15 +139,15 @@ def triangle_count(graph: Graph, n_buckets: int | None = None,
             starts = np.zeros(0, dtype=np.int64)
         counts = np.diff(np.r_[starts, len(src)]).astype(np.int64)
         fi, si = _pairs_in_segments(len(src), starts, counts)
-        return pd.DataFrame({
-            "w1": np.concatenate([dst[fi], src]),
-            "w2": np.concatenate([dst[si], dst]),
-            "apex": np.concatenate([src[fi],
-                                    np.full(len(src), -1, dtype=np.int64)]),
+        return pa.table({
+            "w1": pa.array(np.concatenate([dst[fi], src])),
+            "w2": pa.array(np.concatenate([dst[si], dst])),
+            "apex": pa.array(np.concatenate(
+                [src[fi], np.full(len(src), -1, dtype=np.int64)])),
         })
 
     wedges_and_edges = (oriented.groupby("src_part")
-                        .map_groups(wedges_group, batch_format="pandas"))
+                        .map_groups(wedges_group, batch_format="pyarrow"))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         w1 = batch.column("w1").to_numpy()
@@ -151,46 +157,62 @@ def triangle_count(graph: Graph, n_buckets: int | None = None,
             batch.append_column("bucket", pa.array(b, type=pa.int64())))
 
     # ---- stage 3: bucket join, explode corners ----------------------------
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
-        w = df[df["apex"] >= 0]
-        e = df.loc[df["apex"] < 0, ["w1", "w2"]]
-        if len(w) == 0 or len(e) == 0:
-            return pd.DataFrame({"v": np.zeros(0, dtype=np.int64),
-                                 "part": np.zeros(0, dtype=np.int64)})
-        hit = w.merge(e, on=["w1", "w2"], how="inner")
-        v = np.concatenate([hit["apex"].to_numpy(), hit["w1"].to_numpy(),
-                            hit["w2"].to_numpy()])
-        return pd.DataFrame({"v": v, "part": v // part_size})
+    # wedge-vs-edge membership via a sorted composite key instead of a
+    # pandas hash merge: oriented edges are unique per (w1, w2) (the
+    # canonical layout dedups), so one searchsorted answers every wedge.
+    # key = w1 * V + w2 needs V^2 < 2^63 (V < ~3.0e9 — beyond that,
+    # switch the composite to 128-bit pieces or a sort-merge on 2 keys).
+    if V >= 3_037_000_499:
+        raise NotImplementedError("triangle composite key needs V < 3.0e9")
+
+    def join_group(t: pa.Table) -> pa.Table:
+        apex = t.column("apex").to_numpy()
+        w1 = t.column("w1").to_numpy()
+        w2 = t.column("w2").to_numpy()
+        is_w = apex >= 0
+        key = w1 * np.int64(V) + w2
+        ekey = np.sort(key[~is_w])
+        wkey = key[is_w]
+        if len(ekey) == 0 or len(wkey) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        pos = np.searchsorted(ekey, wkey)
+        hit = (pos < len(ekey)) & (ekey[np.minimum(pos, len(ekey) - 1)]
+                                   == wkey)
+        v = np.concatenate([apex[is_w][hit], w1[is_w][hit], w2[is_w][hit]])
+        return pa.table({"v": pa.array(v),
+                         "part": pa.array(v // part_size)})
 
     corners = (wedges_and_edges
                .map_batches(add_bucket, batch_format="pyarrow")
                .groupby("bucket")
-               .map_groups(join_group, batch_format="pandas"))
+               .map_groups(join_group, batch_format="pyarrow"))
 
     # ---- reduce: dense per-partition counts (seeds keep empty parts) ------
     parts = [p for p in range(P) if p * part_size < V]
-    seeds = ray.data.from_pandas(pd.DataFrame({
-        "v": np.full(len(parts), -1, dtype=np.int64),
-        "part": np.asarray(parts, dtype=np.int64)}))
+    seeds = ray.data.from_arrow(pa.table({
+        "v": pa.array(np.full(len(parts), -1, dtype=np.int64)),
+        "part": pa.array(np.asarray(parts, dtype=np.int64))}))
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        p = int(df["part"].iloc[0])
+    def finalize(t: pa.Table) -> pa.Table:
+        p = int(t.column("part")[0].as_py())
         lo = p * part_size
         size = min(V, lo + part_size) - lo
-        v = df["v"].to_numpy()
+        v = t.column("v").to_numpy()
         v = v[v >= 0]
         cnt = np.bincount(v - lo, minlength=size)
-        out = {"v_id": np.arange(lo, lo + size, dtype=np.int64),
-               "triangles": cnt.astype(np.int64)}
+        out = {"v_id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
+               "triangles": pa.array(cnt.astype(np.int64))}
         if with_coefficient:
             d = _part_degrees(gdir, part_size, V, p).astype(np.float64)
             denom = d * (d - 1)
-            out["coefficient"] = np.where(denom > 0, 2.0 * cnt / denom, 0.0)
-        return pd.DataFrame(out)
+            out["coefficient"] = pa.array(
+                np.where(denom > 0, 2.0 * cnt / denom, 0.0))
+        return pa.table(out)
 
     return (corners.union(seeds)
             .groupby("part")
-            .map_groups(finalize, batch_format="pandas"))
+            .map_groups(finalize, batch_format="pyarrow"))
 
 
 def clustering_coefficient(graph: Graph, n_buckets: int | None = None):

@@ -233,6 +233,61 @@ class Graph:
 PROPERTIES_MERGE_POLICIES = ("min", "max", "sum", "mean")
 
 
+#: per-worker-process dictionary cache for _BroadcastEncoder (warm task
+#: pool: the instance is re-deserialized per task, module state is not)
+_ENCODER_DICT_CACHE: dict = {}
+
+
+class _BroadcastEncoder:
+    """Warm-task-pool url->v_id encoder for SMALL dictionaries.
+
+    Runs as plain tasks (an INSTANCE passed to map_batches), not an
+    actor pool: an actor pool here both pays pool startup per build and
+    trips the ray#53727 restart hazard (Ray Data ships actor
+    constructor blobs through the object store, so a restart after the
+    blob's owner dies fails — the r3 BENCH tail warning). Each worker
+    PROCESS instead lazily loads the dictionary once from the
+    persistent dict shards (``graph_dir/dict`` — shared storage on a
+    real cluster) into a module-level cache keyed by (dir, shape,
+    mtime); tasks are restartable by normal lineage, no object-store
+    ownership involved. Only runs below BROADCAST_DICT_MAX urls.
+    """
+
+    def __init__(self, dict_dir: str, nb: int, offsets: list[int]):
+        self.dict_dir = dict_dir
+        self.nb = nb
+        self.offsets = offsets
+
+    def _dict(self):
+        first = os.path.join(self.dict_dir, "bucket_00000.parquet")
+        key = (self.dict_dir, self.nb, tuple(self.offsets),
+               os.path.getmtime(first))
+        d = _ENCODER_DICT_CACHE.get(key)
+        if d is None:
+            shards = []
+            for b in range(self.nb):
+                sh = pl.read_parquet(
+                    os.path.join(self.dict_dir, f"bucket_{b:05d}.parquet"),
+                    columns=["url", "local_idx"])
+                shards.append(sh.with_columns(
+                    (pl.col("local_idx") + int(self.offsets[b]))
+                    .alias("v_id")).select(["url", "v_id"]))
+            d = pl.concat(shards)
+            _ENCODER_DICT_CACHE.clear()   # one graph's dict per process
+            _ENCODER_DICT_CACHE[key] = d
+        return d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = self._dict()
+        out = (pl.from_arrow(batch)
+               .join(d.rename({"v_id": "src_id"}),
+                     left_on="src", right_on="url", how="left")
+               .join(d.rename({"v_id": "dst_id"}),
+                     left_on="dst", right_on="url", how="left")
+               .drop(["src", "dst"]))
+        return out.to_arrow()
+
+
 def build_graph(edges_ds, graph_dir: str, n_parts: int,
                 extra_url_ds=None, weight_col: str | None = None,
                 n_buckets: int | None = None,
@@ -386,35 +441,17 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     _mark("dict_build")
 
     # ---- 4. encode edges ---------------------------------------------------
-    # Small dictionaries are BROADCAST (ray.put once, polars hash join
-    # inside map_batches — no shuffle at all); big ones use the
+    # Small dictionaries are BROADCAST (each encoder actor loads the
+    # full dictionary ONCE in __init__ from the persistent dict shards —
+    # plain-data constructor args only, so an actor restart after node
+    # loss re-reads the shards instead of failing on a lost object-store
+    # ref, ray#53727 / VERDICT r3 item 4); big dictionaries use the
     # range-bucketed merge join (each group task reads only its shard).
     def encode_broadcast(ds):
-        shards = []
-        for b in range(nb):
-            sh = pl.read_parquet(
-                os.path.join(dict_dir, f"bucket_{b:05d}.parquet"),
-                columns=["url", "local_idx"])
-            shards.append(sh.with_columns(
-                (pl.col("local_idx") + int(offsets[b])).alias("v_id"))
-                .select(["url", "v_id"]))
-        dict_ref = ray.put(pl.concat(shards).to_arrow())
-
-        class Encoder:
-            def __init__(self):
-                self.d = pl.from_arrow(ray.get(dict_ref))
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                out = (pl.from_arrow(batch)
-                       .join(self.d.rename({"v_id": "src_id"}),
-                             left_on="src", right_on="url", how="left")
-                       .join(self.d.rename({"v_id": "dst_id"}),
-                             left_on="dst", right_on="url", how="left")
-                       .drop(["src", "dst"]))
-                return out.to_arrow()
-
-        return ds.map_batches(Encoder, batch_format="pyarrow",
-                              concurrency=(1, 16))
+        # no concurrency cap: plain tasks scale with free CPUs, and the
+        # per-process dict load is one-time (cached module-level)
+        enc = _BroadcastEncoder(dict_dir, nb, offsets.tolist())
+        return ds.map_batches(enc, batch_format="pyarrow")
 
     def encode_side(ds, col: str, out_col: str):
         def assign(batch: pa.Table) -> pa.Table:

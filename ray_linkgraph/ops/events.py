@@ -11,7 +11,6 @@ never matters.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 US_PER_S = 1_000_000
@@ -102,10 +101,16 @@ def sessionize(events_ds, gap_s: int = 1800):
     run-compression kernel per block — one numpy pass emits one partial
     row per (user, block) with (first_ts, last_ts, n, inner_breaks).
     The heavy event data is never touched by per-group Python; only the
-    O(users) partials table goes through map_groups, where each group
-    merges its ≤ #blocks partial rows (sorted by first_ts, counting
-    block-boundary gaps)."""
+    O(users) partials table is shuffled, by a COARSE hash of user_id
+    (4 x cluster-CPU groups, not one group per user), and each group
+    task merges ALL its users in one lexsort/reduceat pass — the house
+    kernel pattern (louvain._decide_kernel), replacing the r3 per-user
+    1-row pandas ``map_groups`` that regressed the gate query 2.6x
+    (VERDICT r3 item 2)."""
+    import ray
+
     gap_us = gap_s * US_PER_S
+    n_coarse = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
 
     def block_partials(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy()
@@ -130,18 +135,49 @@ def sessionize(events_ds, gap_s: int = 1800):
             "inner": pa.array(cum[ends - 1] - cum[starts]),
         })
 
+    def add_gkey(t: pa.Table) -> pa.Table:
+        from .._util import hash_u64
+        gk = (hash_u64(t.column("user_id").to_numpy().astype(np.uint64))
+              % np.uint64(n_coarse)).astype(np.int64)
+        return t.append_column("gkey", pa.array(gk))
+
     partials = (events_ds.select_columns(["user_id", "ts"])
                 .sort(["user_id", "ts"])
-                .map_batches(block_partials, batch_format="pyarrow"))
+                .map_batches(block_partials, batch_format="pyarrow")
+                .map_batches(add_gkey, batch_format="pyarrow"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("first_ts")
-        ft, lt = df["first_ts"].to_numpy(), df["last_ts"].to_numpy()
-        breaks = int(df["inner"].sum()) + int((ft[1:] - lt[:-1] > gap_us).sum())
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_sessions": [breaks + 1],
-                             "n_events": [int(df["n"].sum())]})
+    def merge_group(t: pa.Table) -> pa.Table:
+        # all users of one coarse bucket merged in ONE vectorized pass:
+        # lexsort by (user, first_ts[, last_ts]), detect user runs, count
+        # block-boundary gaps within runs, reduceat the per-block partial
+        # counts. (Blocks of one user never overlap in ts — the input is
+        # globally sorted — so first_ts order is merge order; last_ts is
+        # only a deterministic tie key for touching blocks.)
+        u = t.column("user_id").to_numpy()
+        ft = t.column("first_ts").to_numpy()
+        lt = t.column("last_ts").to_numpy()
+        n = t.column("n").to_numpy()
+        inner = t.column("inner").to_numpy()
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        o = np.lexsort((lt, ft, u))
+        u, ft, lt, n, inner = u[o], ft[o], lt[o], n[o], inner[o]
+        same = u[1:] == u[:-1]
+        starts = np.r_[0, np.flatnonzero(~same) + 1]
+        # gap between consecutive blocks of the SAME user
+        brk = ((ft[1:] - lt[:-1] > gap_us) & same).astype(np.int64)
+        cbrk = np.r_[0, np.cumsum(brk)]
+        ends = np.r_[starts[1:], len(u)]
+        boundary_breaks = cbrk[ends - 1] - cbrk[starts]
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "n_sessions": pa.array(np.add.reduceat(inner, starts)
+                                   + boundary_breaks + 1),
+            "n_events": pa.array(np.add.reduceat(n, starts)),
+        })
 
-    return (partials.groupby("user_id")
-            .map_groups(merge, batch_format="pandas")
+    return (partials.groupby("gkey")
+            .map_groups(merge_group, batch_format="pyarrow")
             .select_columns(["user_id", "n_sessions", "n_events"]))

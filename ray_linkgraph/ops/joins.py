@@ -31,10 +31,15 @@ from .._util import hash_u64
 
 
 def _ts_us(col) -> np.ndarray:
-    """timestamp[us] (or int64) column -> int64 microseconds."""
+    """timestamp (any unit) or int64 column -> int64 microseconds.
+    Non-us timestamp units are normalized FIRST so band widths given in
+    microseconds always mean microseconds (ADVICE.md: a timestamp[ns]
+    column would otherwise be interpreted at 1000x the band width)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_timestamp(col.type):
+        if col.type.unit != "us":
+            col = col.cast(pa.timestamp("us", tz=col.type.tz))
         return col.cast(pa.int64()).to_numpy()
     return col.to_numpy().astype(np.int64)
 
@@ -50,6 +55,13 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
     side is pre-deduplicated to max(right_val) per (by, on), which is
     exactly what a SQL oracle's ``ORDER BY ts DESC, val DESC LIMIT 1``
     (or an ASOF JOIN over the deduped side) computes.
+
+    Key requirements (ADVICE.md): ``by`` and ``right_val`` must be
+    INTEGER columns (``by`` is hashed with a uint64 kernel and
+    ``right_val`` is carried as int64 with ``unmatched`` as the
+    sentinel). Hash a string key to int64 upstream (e.g. with
+    ``pyarrow.compute`` hash kernels or ``_util.hash_u64`` over a
+    dictionary-encoded id) before calling.
 
     Returns Dataset(left columns..., ``out_col``:int64) with
     ``unmatched`` as the sentinel where no right row qualifies (keeps
