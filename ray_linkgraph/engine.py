@@ -488,7 +488,7 @@ class PartCtx:
         instead of the 1D exchange's O(V*P), and each chunk owner merges
         R pieces instead of P partials. This is the 2D partitioning the
         round-1 BASELINE.md flagged as the dense-regime scale fix."""
-        key = ("grid", mode)
+        key = ("grid", mode, R, C)
         if key not in self._csr:
             r, c = divmod(self.part_id, C)
             ps = self.part_size
@@ -605,8 +605,20 @@ class PartitionWorker:
     def __init__(self, graph_dir: str, meta: dict, part_id: int, program,
                  grid: tuple[int, int] | None = None):
         self.ctx = PartCtx(graph_dir, meta, part_id)
+        self.P = meta["P"]
+        self._local_dtype = np.int32 if meta["part_size"] < 2**31 else np.int64
+        self._ck_thread = None     # in-flight async checkpoint write
+        self._ck_done = None       # completed write info awaiting pickup
+        self.set_program(program, grid)
+
+    def set_program(self, program, grid: tuple[int, int] | None = None):
+        """(Re)arm the actor for a run. Cached pools (RLG_ACTOR_CACHE)
+        call this between queries instead of paying a fresh actor pool:
+        the PartCtx CSR/grid/plan caches persist per edge MODE, so only
+        the first program per mode pays the adjacency build."""
+        self._join_ck()            # never carry an in-flight write over
         self.program = program
-        self.program.combiner  # touch to fail early on bad programs
+        self.program.combiner      # touch to fail early on bad programs
         self.grid = grid
         if grid is None:
             self.ctx.csr(self.program.mode)  # build CSR once, up front
@@ -615,10 +627,7 @@ class PartitionWorker:
             self.ctx.grid_block(self.program.mode, self.R, self.C)
             self.ctx.degrees(self.program.mode)  # degrees only, no 1D CSR
         self.state = None
-        self.P = meta["P"]
-        self._local_dtype = np.int32 if meta["part_size"] < 2**31 else np.int64
-        self._ck_thread = None     # in-flight async checkpoint write
-        self._ck_done = None       # completed write info awaiting pickup
+        return True
 
     # -- message routing ----------------------------------------------------
     def _route_edges(self, scatter: EdgeScatter):
@@ -865,6 +874,31 @@ class BSPResult:
         return pa.concat_tables([t for t in tables if t.num_rows])
 
 
+# -- cached partition-actor pool ---------------------------------------------
+# Opt-in (env RLG_ACTOR_CACHE=1): the ~0.5-1 s partition-actor pool
+# startup is a visible fraction of every gate-scale query, and a bench /
+# driver invocation runs ~18 BSP queries against the SAME graph. The
+# cache keeps ONE pool alive (keyed by graph identity) and re-arms it
+# per query via PartitionWorker.set_program — adjacency/plan caches
+# persist per edge mode. Off by default: a retained pool holds its CPUs
+# between runs, which a low-CPU session (tests at num_cpus=4) needs back
+# for shuffle actor pools. Single pool only, so the held resources are
+# bounded by one graph's P.
+_ACTOR_POOL: dict = {}
+
+
+def _actor_cache_enabled() -> bool:
+    return os.environ.get("RLG_ACTOR_CACHE", "") == "1"
+
+
+def release_cached_actors():
+    """Kill the retained partition-actor pool (frees its CPUs)."""
+    pool = _ACTOR_POOL.pop("pool", None)
+    if pool:
+        for a in pool["actors"]:
+            ray.kill(a)
+
+
 class BSPEngine:
     """Drives P PartitionWorker actors through the superstep loop."""
 
@@ -889,14 +923,31 @@ class BSPEngine:
             R = int(os.environ.get("RLG_GRID_R", R) or R)
             if 2 <= R < P and P % R == 0:
                 self.grid = (R, P // R)
-        total_cpus = ray.cluster_resources().get("CPU", P) or P
-        cpu_per_actor = min(1.0, max(0.05, (total_cpus - 1) / max(P, 1)))
-        Worker = ray.remote(PartitionWorker)
-        self.actors = [
-            Worker.options(num_cpus=cpu_per_actor).remote(
-                graph.dir, graph.meta, p, program, self.grid)
-            for p in range(P)
-        ]
+        self._use_cache = _actor_cache_enabled()
+        key = (graph.dir, P, graph.meta.get("V"),
+               graph.meta.get("synthetic") is not None)
+        pool = _ACTOR_POOL.get("pool")
+        self.actors = None
+        if self._use_cache and pool and pool["key"] == key:
+            try:
+                ray.get([a.set_program.remote(program, self.grid)
+                         for a in pool["actors"]])
+                self.actors = pool["actors"]
+            except ray.exceptions.RayActorError:
+                release_cached_actors()   # pool died: rebuild below
+        if self.actors is None:
+            if _ACTOR_POOL.get("pool") is not None:   # other graph: evict
+                release_cached_actors()
+            total_cpus = ray.cluster_resources().get("CPU", P) or P
+            cpu_per_actor = min(1.0, max(0.05, (total_cpus - 1) / max(P, 1)))
+            Worker = ray.remote(PartitionWorker)
+            self.actors = [
+                Worker.options(num_cpus=cpu_per_actor).remote(
+                    graph.dir, graph.meta, p, program, self.grid)
+                for p in range(P)
+            ]
+            if self._use_cache:
+                _ACTOR_POOL["pool"] = {"key": key, "actors": self.actors}
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -1161,8 +1212,12 @@ class BSPEngine:
         return BSPResult(refs, supersteps, aggs, history)
 
     def close(self):
-        for a in self.actors:
-            ray.kill(a)
+        pool = _ACTOR_POOL.get("pool")
+        keep = (self._use_cache and pool
+                and pool["actors"] is self.actors)
+        if not keep:
+            for a in self.actors:
+                ray.kill(a)
         self.actors = []
 
 

@@ -119,7 +119,7 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        bh = texthash.minhash_band_hashes(batch.column("text").to_pylist())
+        bh = texthash.minhash_band_hashes(batch.column("text"))
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, LSH_BANDS)),
             "band": pa.array(np.tile(np.arange(LSH_BANDS), len(ids))),
@@ -144,7 +144,7 @@ class _CandidateShingles:
             return pa.table({
                 "doc_id": pa.array([], type=pa.int64()),
                 "shingles": pa.array([], type=pa.binary())})
-        texts = batch.column("text").filter(pa.array(keep)).to_pylist()
+        texts = batch.column("text").filter(pa.array(keep))
         sdoc, sh, seg = texthash.shingle_sets(texts)
         # binary-encoded int64 arrays: Ray's hash join ships binary
         # payload columns but rejects list<int64> non-key fields
@@ -343,7 +343,7 @@ def simhash64(text: str) -> np.int64:
 
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = texthash.simhashes(batch.column("text").to_pylist())
+        sh = texthash.simhashes(batch.column("text"))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": pa.array(sh)})
 

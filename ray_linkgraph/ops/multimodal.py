@@ -274,10 +274,20 @@ class MediaDecoder:
 
     def __init__(self, codec: str = "fake", feat_dim: int = 8,
                  resize_to: tuple[int, int] | None = None,
-                 channel_sums: bool = False):
+                 channel_sums: bool = False, decoder_hook=None):
+        """``decoder_hook``: optional user callable for formats the
+        built-in dependency-free codecs can't read (JPEG/PNG for
+        ``codec="image"`` — must return a uint8 (H, W, 3) array;
+        MP3/FLAC for ``codec="audio"`` — must return (int16 samples
+        (n, ch), sample_rate)). It is only consulted AFTER the built-in
+        sniffers decline (NotImplementedError/ValueError), so e.g. a
+        Pillow- or soundfile-backed hook plugs in external libraries
+        without this module vendoring them; without a hook the original
+        NotImplementedError naming the missing dependency propagates."""
         self.feat_dim = feat_dim
         self.resize_to = resize_to
         self.channel_sums = channel_sums
+        self.decoder_hook = decoder_hook
         if codec == "fake":
             self.decode = self._decode_fake
         elif codec == "image":
@@ -289,7 +299,13 @@ class MediaDecoder:
         self.dim_cols, self.sum_cols = self._COLS[codec]
 
     def _decode_image(self, payload: bytes):
-        px = decode_image(payload)
+        try:
+            px = decode_image(payload)
+        except (NotImplementedError, ValueError):
+            if self.decoder_hook is None:
+                raise
+            px = np.ascontiguousarray(
+                np.asarray(self.decoder_hook(payload), dtype=np.uint8))
         if self.resize_to is not None:
             px = resize_nearest(px, *self.resize_to)
         # exact integer channel sums from the DECODED pixels —
@@ -301,7 +317,15 @@ class MediaDecoder:
                 image_features(px, self.feat_dim), sums)
 
     def _decode_audio(self, payload: bytes):
-        samples, sr = decode_audio(payload)
+        try:
+            samples, sr = decode_audio(payload)
+        except (NotImplementedError, ValueError):
+            if self.decoder_hook is None:
+                raise
+            samples, sr = self.decoder_hook(payload)
+            samples = np.asarray(samples, dtype=np.int16)
+            if samples.ndim == 1:
+                samples = samples[:, None]
         sums = None
         if self.channel_sums:
             sums = [int(samples[:, c].sum(dtype=np.int64))
@@ -347,13 +371,16 @@ class MediaDecoder:
 
 def decode_media(media_ds, codec: str = "fake", batch_size: int = 64,
                  concurrency=(1, 4), feat_dim: int = 8,
-                 channel_sums: bool = False):
+                 channel_sums: bool = False, decoder_hook=None):
     """Small batch_size on purpose: wide binary rows — batch x
-    concurrency must fit the worker heap (SURVEY.md memory notes)."""
+    concurrency must fit the worker heap (SURVEY.md memory notes).
+    ``decoder_hook`` plugs an external-library codec into the actor
+    pool for formats the built-ins decline (see MediaDecoder)."""
     return media_ds.map_batches(
         MediaDecoder, fn_constructor_kwargs={"codec": codec,
                                              "feat_dim": feat_dim,
-                                             "channel_sums": channel_sums},
+                                             "channel_sums": channel_sums,
+                                             "decoder_hook": decoder_hook},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

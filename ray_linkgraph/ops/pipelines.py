@@ -6,10 +6,11 @@ exact+MinHash near-dup dedup → kept corpus + a per-stage audit of drop
 counts. Everything streams: filters are vectorized batch predicates,
 and the dedup filter works on the DROP set (duplicate ids), which is
 sparse by construction — O(duplicates), never O(corpus). Below a size
-threshold the drop set is broadcast once (``ray.put``) into a batch
-filter; above it the corpus is anti-joined against the drop-id Dataset
-with Ray's hash ``left_anti`` join, so no O(corpus) — and no
-O(duplicates) — array ever lands on the driver.
+threshold the drop set is broadcast once (inside the serialized filter
+instance, which Ray Data puts in the object store once and every warm
+task zero-copy-reads); above it the corpus is anti-joined against the
+drop-id Dataset with Ray's hash ``left_anti`` join, so no O(corpus) —
+and no O(duplicates) — array ever lands on the driver.
 """
 
 from __future__ import annotations
@@ -64,6 +65,22 @@ def dedup_drop_ids(docs_ds, near_threshold: float = 0.8,
     return near.map_batches(dups, batch_format="pyarrow")
 
 
+class _KeepFilter:
+    """Drop-set semi-join filter over sorted drop ids (broadcast tier)."""
+
+    def __init__(self, drop_ids: np.ndarray, id_col: str):
+        self.drop = drop_ids
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        mask = np.ones(len(ids), dtype=bool)
+        idx = np.searchsorted(self.drop, ids)
+        inb = idx < len(self.drop)
+        mask[inb] = self.drop[idx[inb]] != ids[inb]
+        return batch.filter(pa.array(mask))
+
+
 def clean_corpus(docs_ds, min_quality: float = 0.5, min_tokens: int = 5,
                  langs: tuple = ("en",), near_threshold: float = 0.8,
                  id_col: str = "doc_id", num_partitions: int = 32):
@@ -79,25 +96,16 @@ def clean_corpus(docs_ds, min_quality: float = 0.5, min_tokens: int = 5,
     if n_drop == 0:
         kept = filtered
     elif n_drop <= BROADCAST_DROP_MAX:
-        # small-side fast path: broadcast the sparse drop set once
+        # small-side fast path: the sparse drop set rides inside the
+        # filter INSTANCE (warm task pool) — Ray Data puts the
+        # serialized transform in the object store once and every task
+        # zero-copy-reads it; no actor pool, so no ray#53727 restart
+        # hazard from a closure-captured ObjectRef (the r3 Encoder
+        # lesson), and tasks recover by plain lineage
         tabs = [t for t in ray.get(drop_ds.to_arrow_refs()) if t.num_rows]
         drop_ids = np.sort(pa.concat_tables(tabs).column(id_col).to_numpy())
-        ref = ray.put(drop_ids)
-
-        class Keep:
-            def __init__(self):
-                self.drop = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column(id_col).to_numpy()
-                mask = np.ones(len(ids), dtype=bool)
-                idx = np.searchsorted(self.drop, ids)
-                inb = idx < len(self.drop)
-                mask[inb] = self.drop[idx[inb]] != ids[inb]
-                return batch.filter(pa.array(mask))
-
-        kept = filtered.map_batches(Keep, batch_format="pyarrow",
-                                    concurrency=(1, 8)).materialize()
+        kept = filtered.map_batches(_KeepFilter(drop_ids, id_col),
+                                    batch_format="pyarrow").materialize()
     else:
         # scale path: distributed hash anti-join — both sides stay in
         # the object store, hash-partitioned by id

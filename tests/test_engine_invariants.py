@@ -33,6 +33,43 @@ def test_pagerank_layout_independent(work_dir):
     assert np.allclose(r2, r4, atol=1e-12, rtol=0)
 
 
+def test_actor_pool_cache_reuse(work_dir, monkeypatch):
+    """RLG_ACTOR_CACHE=1: successive runs on the same graph re-arm one
+    retained partition-actor pool (same actor ids) instead of paying a
+    fresh pool per query; results are unchanged; release kills it."""
+    import os
+    import ray
+    from ray_linkgraph import engine
+    from ray_linkgraph.algorithms import pagerank, wcc
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    t = pa.table({"src": [str(a) for a, b in edges],
+                  "dst": [str(b) for a, b in edges]})
+    g = build_graph(rd.from_arrow(t), os.path.join(work_dir, "cache_g"),
+                    n_parts=2)
+    base = pagerank(g, l1_threshold=0.0, max_supersteps=6).to_arrow() \
+        .to_pandas().sort_values("v_id")["rank"].to_numpy()
+    monkeypatch.setenv("RLG_ACTOR_CACHE", "1")
+    try:
+        r1 = pagerank(g, l1_threshold=0.0, max_supersteps=6)
+        pool1 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        # different program + different edge MODE on the same pool
+        w = wcc(g, max_supersteps=10).to_arrow().to_pandas()
+        pool2 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        assert pool1 == pool2                     # reused, not rebuilt
+        r2 = pagerank(g, l1_threshold=0.0, max_supersteps=6)
+        pool3 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        assert pool1 == pool3
+        got1 = r1.to_arrow().to_pandas().sort_values("v_id")["rank"] \
+            .to_numpy()
+        got2 = r2.to_arrow().to_pandas().sort_values("v_id")["rank"] \
+            .to_numpy()
+        assert np.array_equal(got1, base) and np.array_equal(got2, base)
+        assert len(set(w["component"])) >= 1
+    finally:
+        engine.release_cached_actors()
+    assert "pool" not in engine._ACTOR_POOL
+
+
 def test_degenerate_graphs(work_dir):
     """Self-loop-only and isolated-vertex inputs run end-to-end: loops
     are dropped at canonicalization, isolated vertices still get ranks

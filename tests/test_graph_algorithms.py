@@ -447,6 +447,48 @@ def test_louvain_multilevel_parity(tmp_path):
     assert len(set(exp)) < len(set(l1))       # contraction merged further
 
 
+def test_louvain_multilevel_distributed_contraction(tmp_path, monkeypatch):
+    """Forced join route with LOCAL_EDGES_MAX = -1: every level's
+    contraction and moving must stay DISTRIBUTED — ``_collect`` (the
+    only way an O(E) table reaches the driver in this module) is
+    forbidden outright — and still match the naive mirror exactly
+    (VERDICT r3 item 1)."""
+    from ray_linkgraph.graph import build_graph
+    from ray_linkgraph.algorithms import louvain as lv
+    edges = set()
+    for c in range(4):
+        b = 3 * c
+        edges |= {(b, b + 1), (b, b + 2), (b + 1, b + 2)}
+    edges |= {(0, 3), (1, 4), (2, 5), (6, 9), (7, 10), (8, 11), (5, 6)}
+    import pyarrow as pa
+    t = pa.table({"src": [str(a) for a, b in sorted(edges)],
+                  "dst": [str(b) for a, b in sorted(edges)]})
+    g = build_graph(rd.from_arrow(t), str(tmp_path / "mldist"), n_parts=2)
+
+    monkeypatch.setattr(lv, "LOCAL_EDGES_MAX", -1)
+
+    def no_collect(ds):
+        raise AssertionError(
+            "_collect called on the forced distributed route — an O(E) "
+            "table would have been materialized on the driver")
+
+    monkeypatch.setattr(lv, "_collect", no_collect)
+    # levels=2 / num_partitions=2 keeps the wall bounded: every join op
+    # pays a fresh shuffle-aggregator pool, and this path runs ~8 of
+    # them per moving round — one contracted level exercises the whole
+    # distributed route
+    res = lv.louvain_multilevel(g, levels=2, max_rounds=10,
+                                large_graph=True, num_partitions=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    both = edges | {(d, s) for s, d in edges}
+    und = [[] for _ in range(g.V)]
+    for s, d in both:
+        und[s].append((d, 1.0))
+    exp = naive_ref.naive_louvain_multilevel(g.V, und, levels=2,
+                                             max_rounds=10)
+    assert res["community"].tolist() == exp
+
+
 def test_louvain_join_route_parity(built):
     """The billion-vertex join route (large_graph=True) must be
     bit-identical to the broadcast route / naive oracle."""
