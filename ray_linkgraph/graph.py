@@ -39,7 +39,6 @@ import os
 import zlib
 
 import numpy as np
-import pandas as pd
 import polars as pl
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -202,18 +201,21 @@ class Graph:
             return _strip_schema_meta(batch.append_column(
                 "_bucket", pa.array(b, type=pa.int64())))
 
-        def join_group(df: pd.DataFrame) -> pd.DataFrame:
-            b = int(df["_bucket"].iloc[0])
-            shard = pq.read_table(
+        def join_group(t: pa.Table) -> pa.Table:
+            b = int(t.column("_bucket")[0].as_py())
+            shard = (pl.read_parquet(
                 os.path.join(dict_dir, f"bucket_{b:05d}.parquet"),
-                columns=["url", "local_idx"]).to_pandas()
-            shard[v_id_col] = shard["local_idx"] + int(offsets[b])
-            out = df.merge(shard[["url", v_id_col]], on=v_id_col, how="left")
-            return out.drop(columns=["_bucket"])
+                columns=["url", "local_idx"])
+                .with_columns((pl.col("local_idx") + int(offsets[b]))
+                              .alias(v_id_col))
+                .select([v_id_col, "url"]))
+            out = (pl.from_arrow(t).join(shard, on=v_id_col, how="left")
+                   .drop("_bucket"))
+            return out.to_arrow()
 
         return (ds.map_batches(assign, batch_format="pyarrow")
                   .groupby("_bucket")
-                  .map_groups(join_group, batch_format="pandas"))
+                  .map_groups(join_group, batch_format="pyarrow"))
 
     def ensure_mode(self, mode: str):
         if mode == "out" or mode in self.meta["edge_counts"]:
@@ -408,9 +410,9 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
     # ---- 3. per-bucket dedup + Id-order sort -> dict shards ---------------
     dict_dir = os.path.join(graph_dir, "dict")
 
-    def build_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        b = int(df["bucket"].iloc[0])
-        u = (pl.DataFrame({"url": df["url"].to_numpy()})
+    def build_bucket(g: pa.Table) -> pa.Table:
+        b = int(g.column("bucket")[0].as_py())
+        u = (pl.from_arrow(g.select(["url"]))
              .unique()
              .with_columns(pl.col("url").str.len_bytes().alias("_len"))
              .sort(["_len", "url"])      # polars sorts utf8 by bytes => Id order
@@ -419,11 +421,12 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         t = t.append_column("bucket", pa.array(np.full(len(t), b), type=pa.int64()))
         t = t.append_column("local_idx", pa.array(np.arange(len(t)), type=pa.int64()))
         pq.write_table(t, os.path.join(dict_dir, f"bucket_{b:05d}.parquet"))
-        return pd.DataFrame({"bucket": [b], "count": [len(t)]})
+        return pa.table({"bucket": pa.array([b], type=pa.int64()),
+                         "count": pa.array([len(t)], type=pa.int64())})
 
     counts_rows = (urls_ds.map_batches(assign_bucket_url, batch_format="pyarrow")
                    .groupby("bucket")
-                   .map_groups(build_bucket, batch_format="pandas")
+                   .map_groups(build_bucket, batch_format="pyarrow")
                    .take_all())
     counts = {int(r["bucket"]): int(r["count"]) for r in counts_rows}
     # buckets with no urls still need dict files for ids_to_urls/encode
@@ -533,13 +536,13 @@ def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None,
                  "sum": pl.col("weight").sum, "mean": pl.col("weight").mean,
                  }[properties_merge]
 
-    def write_part(df: pd.DataFrame) -> pd.DataFrame:
-        p = int(df["part"].iloc[0])
+    def write_part(t: pa.Table) -> pa.Table:
+        p = int(t.column("part")[0].as_py())
         lf = pl.DataFrame({
-            "src_id": df["src_id"].to_numpy().astype(np.int64),
-            "dst_id": df["dst_id"].to_numpy().astype(np.int64),
-            **({"weight": df[weight_col].to_numpy().astype(np.float64)}
-               if weight_col else {}),
+            "src_id": t.column("src_id").to_numpy().astype(np.int64),
+            "dst_id": t.column("dst_id").to_numpy().astype(np.int64),
+            **({"weight": t.column(weight_col).to_numpy()
+                .astype(np.float64)} if weight_col else {}),
         })
         if weight_col:
             lf = (lf.group_by(["src_id", "dst_id"]).agg(merge_agg())
@@ -550,9 +553,11 @@ def _write_partition_files(parted_ds, out_dir: str, weight_col: str | None,
             lf = lf.group_by("src_id", maintain_order=True) \
                 .head(limit_per_vertex)
         pq.write_table(lf.to_arrow(), os.path.join(out_dir, f"part_{p:05d}.parquet"))
-        return pd.DataFrame({"part": [p], "count": [len(lf)]})
+        return pa.table({"part": pa.array([p], type=pa.int64()),
+                         "count": pa.array([len(lf)], type=pa.int64())})
 
-    rows = parted_ds.groupby("part").map_groups(write_part, batch_format="pandas").take_all()
+    rows = parted_ds.groupby("part").map_groups(
+        write_part, batch_format="pyarrow").take_all()
     return int(sum(r["count"] for r in rows))
 
 

@@ -35,7 +35,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -481,20 +480,22 @@ def embedding_neardup_lsh(emb_ds, threshold: float = 0.95,
         return _strip_schema_meta(
             t.append_column("bucket", pa.array(code.astype(np.int64))))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy()
+    def verify(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        vecs = np.stack(df["vec"].to_list())
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        col = t.column("vec").combine_chunks()
+        vecs = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(t), -1)
         sims = vecs @ vecs.T
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a": np.minimum(ids[ai], ids[bi]),
-                             "b": np.maximum(ids[ai], ids[bi])})
+        return pa.table({"a": pa.array(np.minimum(ids[ai], ids[bi])),
+                         "b": pa.array(np.maximum(ids[ai], ids[bi]))})
 
     pairs = _dedup_pairs(
         emb_ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket").map_groups(verify, batch_format="pandas"))
+        .groupby("bucket").map_groups(verify, batch_format="pyarrow"))
     labels = connected_components(pairs, num_partitions=num_partitions)
     return assign_clusters(emb_ds.select_columns([id_col]), labels,
                            id_col=id_col)

@@ -1,10 +1,12 @@
 """Similarity search over an embedding column (list<float>).
 
-* brute-force cosine top-k: the query matrix is broadcast once with
-  ray.put and read in each actor's __init__ (never re-shipped per
-  batch); each batch computes a numpy matmul and emits only its local
-  top-k per query, so the final per-query reduce sees
-  O(k * num_batches) rows, not the whole table.
+* brute-force cosine top-k: the (small) query matrix rides inside the
+  serialized stage instance — Ray Data puts the transform in the object
+  store once and every warm task zero-copy-reads it (never re-shipped
+  per batch, and no actor pool whose constructor captures an ObjectRef,
+  the ray#53727 restart hazard); each batch computes a numpy matmul and
+  emits only its local top-k per query, so the final per-query reduce
+  sees O(k * num_batches) rows, not the whole table.
 * IVF-style ANN: deterministic seeded centroids, vectors bucketed by
   nearest centroid; queries probe the nprobe nearest buckets only.
 """
@@ -12,12 +14,25 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
 from .._util import (hash_u64, read_parquet_nm, _strip_schema_meta,
                       vec_matrix as _vec_matrix)
+from ..extract import _task_cap
+
+
+def _final_topk_arrow(k: int):
+    """Per-query global top-k finalizer (pyarrow group format;
+    deterministic sim desc, vec_id asc, 1-based rank)."""
+    def fn(t: pa.Table) -> pa.Table:
+        sim = t.column("sim").to_numpy()
+        vid = t.column("vec_id").to_numpy()
+        order = np.lexsort((vid, -sim))[:k]
+        out = t.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int64)))
+    return fn
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
@@ -25,7 +40,8 @@ def _normalize(v: np.ndarray) -> np.ndarray:
 
 
 class BatchTopK:
-    """Stateful stage: query matrix fetched once per actor."""
+    """Warm-task-pool stage: the normalized query matrix rides in the
+    instance (object store once via Ray Data's transform put)."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
@@ -55,19 +71,12 @@ def knn_brute(emb_ds, queries: np.ndarray, k: int = 10,
               id_col: str = "vec_id", vec_col: str = "embedding",
               concurrency=(1, 8)):
     """-> Dataset(query_idx, vec_id, sim, rank) exact cosine top-k."""
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
     partial = emb_ds.map_batches(
-        BatchTopK, fn_constructor_args=(qref, k, id_col, vec_col),
-        batch_format="pyarrow", concurrency=concurrency)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["sim", "vec_id"], ascending=[False, True]) \
-            .head(k).reset_index(drop=True)
-        d["rank"] = np.arange(1, len(d) + 1)
-        return d
-
-    return partial.groupby("query_idx").map_groups(final_topk,
-                                                   batch_format="pandas")
+        BatchTopK(np.asarray(queries, dtype=np.float64), k, id_col,
+                  vec_col),
+        batch_format="pyarrow", concurrency=_task_cap(concurrency))
+    return partial.groupby("query_idx").map_groups(
+        _final_topk_arrow(k), batch_format="pyarrow")
 
 
 def train_centroids(emb_ds, n_centroids: int = 16, seed: int = 11,
@@ -177,25 +186,17 @@ class IvfIndex:
         paths = [f for b in wanted for f in sorted(glob.glob(
             os.path.join(self.path, "data", f"bucket={b}", "*.parquet")))]
         if not paths:
-            import pandas as _pd
-            return ray.data.from_pandas(_pd.DataFrame(
-                {"query_idx": [], "vec_id": [], "sim": [], "rank": []}))
+            return ray.data.from_arrow(pa.table(
+                {"query_idx": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())}))
         sub = read_parquet_nm(paths)
-        qref = ray.put(q)
         partial = sub.map_batches(
-            BatchTopK, fn_constructor_args=(qref, k, self.id_col,
-                                            self.vec_col),
-            batch_format="pyarrow", concurrency=concurrency)
-
-        def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-            d = df.sort_values(["sim", "vec_id"],
-                               ascending=[False, True]) \
-                .head(k).reset_index(drop=True)
-            d["rank"] = np.arange(1, len(d) + 1)
-            return d
-
+            BatchTopK(q, k, self.id_col, self.vec_col),
+            batch_format="pyarrow", concurrency=_task_cap(concurrency))
         return partial.groupby("query_idx").map_groups(
-            final_topk, batch_format="pandas")
+            _final_topk_arrow(k), batch_format="pyarrow")
 
 
 def knn_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
@@ -215,16 +216,8 @@ def knn_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                                      value_set=pa.array(wanted)))
 
     sub = bucketed.map_batches(keep_probed, batch_format="pyarrow")
-    qref = ray.put(q)
     partial = sub.map_batches(
-        BatchTopK, fn_constructor_args=(qref, k, id_col, vec_col),
-        batch_format="pyarrow", concurrency=concurrency)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["sim", "vec_id"], ascending=[False, True]) \
-            .head(k).reset_index(drop=True)
-        d["rank"] = np.arange(1, len(d) + 1)
-        return d
-
-    return partial.groupby("query_idx").map_groups(final_topk,
-                                                   batch_format="pandas")
+        BatchTopK(q, k, id_col, vec_col),
+        batch_format="pyarrow", concurrency=_task_cap(concurrency))
+    return partial.groupby("query_idx").map_groups(
+        _final_topk_arrow(k), batch_format="pyarrow")
