@@ -125,38 +125,45 @@ def connected_components(pairs_ds, max_rounds: int = 50,
     return labels
 
 
+class _AssignClusters:
+    """Sorted-label lookup over a batch (warm task pool; the label
+    arrays ride in the instance — object store once via Ray Data's
+    transform put, zero-copy per task)."""
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray, id_col: str):
+        self.keys, self.vals, self.id_col = keys, vals, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        cluster = ids.copy()
+        if len(self.keys):
+            pos = np.searchsorted(self.keys, ids)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos] == ids
+            cluster[hit] = self.vals[pos[hit]]
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "cluster": pa.array(cluster, type=pa.int64()),
+            "is_duplicate": pa.array(cluster != ids),
+        })
+
+
 def assign_clusters(ds, labels_ds, id_col: str = "doc_id",
                     concurrency=(1, 8)):
     """Attach (cluster, is_duplicate) to every row of ``ds`` by its id.
 
     The label table is small by construction (only nodes of verified
-    duplicate pairs), so it is broadcast once with ray.put and looked up
-    inside map_batches — the corpus streams, nothing shuffles."""
+    duplicate pairs), so it is broadcast inside the serialized stage
+    instance (plain tasks — an actor pool whose constructor captures an
+    ObjectRef cannot restart after the ref's owner dies, ray#53727);
+    the corpus streams, nothing shuffles."""
     import ray
+    from ..extract import _task_cap
 
     lab_tbl = pa.concat_tables(ray.get(labels_ds.to_arrow_refs()))
     keys = lab_tbl.column("node").to_numpy()
     vals = lab_tbl.column("label").to_numpy()
     order = np.argsort(keys, kind="stable")
-    ref = ray.put((keys[order], vals[order]))
-
-    class Assign:
-        def __init__(self):
-            self.keys, self.vals = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy()
-            cluster = ids.copy()
-            if len(self.keys):
-                pos = np.searchsorted(self.keys, ids)
-                pos = np.minimum(pos, len(self.keys) - 1)
-                hit = self.keys[pos] == ids
-                cluster[hit] = self.vals[pos[hit]]
-            return pa.table({
-                id_col: pa.array(ids, type=pa.int64()),
-                "cluster": pa.array(cluster, type=pa.int64()),
-                "is_duplicate": pa.array(cluster != ids),
-            })
-
-    return ds.map_batches(Assign, batch_format="pyarrow",
-                          concurrency=concurrency)
+    return ds.map_batches(_AssignClusters(keys[order], vals[order], id_col),
+                          batch_format="pyarrow",
+                          concurrency=_task_cap(concurrency))
