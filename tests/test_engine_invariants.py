@@ -134,6 +134,27 @@ def test_fingerprint_property_matches_fold(texts):
         assert int(g) == h
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=8),
+       st.integers(min_value=0, max_value=5))
+def test_codepoints_arrow_path_matches_list_path(texts, off):
+    """The zero-copy Arrow-buffer decode (utf-8 continuation-byte
+    prefix sums, r4) must be bit-identical to the per-row list path for
+    arbitrary unicode, chunked columns, slices and large_string."""
+    cols = [pa.array(texts, type=pa.string()),
+            pa.array(texts, type=pa.large_string()),
+            pa.chunked_array(
+                [pa.array(texts[: len(texts) // 2], type=pa.string()),
+                 pa.array(texts[len(texts) // 2:], type=pa.string())])]
+    off = min(off, len(texts) - 1)
+    cols.append(pa.array([""] * off + texts).slice(off, len(texts)))
+    for col in cols:
+        for fn in (texthash.fingerprints, texthash.simhashes,
+                   texthash.minhash_band_hashes):
+            assert np.array_equal(np.asarray(fn(texts)),
+                                  np.asarray(fn(col)))
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.text(alphabet=" abcdefgh\t\n", max_size=80),
                 min_size=1, max_size=6))
