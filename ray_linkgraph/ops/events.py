@@ -93,91 +93,59 @@ def sliding_window_agg(events_ds, width_s: int = 3600,
         events_ds.map_batches(partial, batch_format="pyarrow"))
 
 
-def sessionize(events_ds, gap_s: int = 1800):
+def sessionize(events_ds, gap_s: int = 1800, n_coarse: int | None = None):
     """-> Dataset(user_id, n_sessions, n_events): sessions split when the
     gap between consecutive events of a user exceeds gap_s.
 
-    Scale path: global sort by (user_id, ts), then a VECTORIZED
-    run-compression kernel per block — one numpy pass emits one partial
-    row per (user, block) with (first_ts, last_ts, n, inner_breaks).
-    The heavy event data is never touched by per-group Python; only the
-    O(users) partials table is shuffled, by a COARSE hash of user_id
-    (4 x cluster-CPU groups, not one group per user), and each group
-    task merges ALL its users in one lexsort/reduceat pass — the house
-    kernel pattern (louvain._decide_kernel), replacing the r3 per-user
-    1-row pandas ``map_groups`` that regressed the gate query 2.6x
-    (VERDICT r3 item 2)."""
+    ONE all-to-all: (user_id, ts) pairs are hash-partitioned by a
+    COARSE user-hash key (default 4 x cluster CPUs — NOT one group per
+    user), and each group task sessionizes ALL of its users in a single
+    lexsort + run-compression numpy pass (the house kernel pattern; no
+    per-row or per-user Python anywhere). Replaces the r3 sort-then-
+    merge-partials design: the global sort was itself an exchange plus
+    a sample pass, so this is strictly one less wide step at identical
+    semantics (VERDICT r3 item 2). Group working set = events/n_coarse
+    rows of two int64 columns — raise ``n_coarse`` at 100-TB scale so a
+    group fits a worker (any value gives identical results)."""
     import ray
 
     gap_us = gap_s * US_PER_S
-    n_coarse = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-
-    def block_partials(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy()
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()
-        n = len(uid)
-        if n == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "first_ts": pa.array([], pa.int64()),
-                             "last_ts": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64()),
-                             "inner": pa.array([], pa.int64())})
-        same = uid[1:] == uid[:-1]
-        starts = np.r_[0, np.flatnonzero(~same) + 1]
-        ends = np.r_[starts[1:], n]
-        brk = ((ts[1:] - ts[:-1] > gap_us) & same).astype(np.int64)
-        cum = np.r_[0, np.cumsum(brk)]
-        return pa.table({
-            "user_id": pa.array(uid[starts]),
-            "first_ts": pa.array(ts[starts]),
-            "last_ts": pa.array(ts[ends - 1]),
-            "n": pa.array(ends - starts),
-            "inner": pa.array(cum[ends - 1] - cum[starts]),
-        })
+    if n_coarse is None:
+        n_coarse = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
 
     def add_gkey(t: pa.Table) -> pa.Table:
         from .._util import hash_u64
-        gk = (hash_u64(t.column("user_id").to_numpy().astype(np.uint64))
+        uid = t.column("user_id").to_numpy()
+        gk = (hash_u64(uid.astype(np.uint64))
               % np.uint64(n_coarse)).astype(np.int64)
-        return t.append_column("gkey", pa.array(gk))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "gkey": pa.array(gk),
+        })
 
-    partials = (events_ds.select_columns(["user_id", "ts"])
-                .sort(["user_id", "ts"])
-                .map_batches(block_partials, batch_format="pyarrow")
-                .map_batches(add_gkey, batch_format="pyarrow"))
-
-    def merge_group(t: pa.Table) -> pa.Table:
-        # all users of one coarse bucket merged in ONE vectorized pass:
-        # lexsort by (user, first_ts[, last_ts]), detect user runs, count
-        # block-boundary gaps within runs, reduceat the per-block partial
-        # counts. (Blocks of one user never overlap in ts — the input is
-        # globally sorted — so first_ts order is merge order; last_ts is
-        # only a deterministic tie key for touching blocks.)
+    def sessions_group(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy()
-        ft = t.column("first_ts").to_numpy()
-        lt = t.column("last_ts").to_numpy()
-        n = t.column("n").to_numpy()
-        inner = t.column("inner").to_numpy()
+        ts = t.column("ts").to_numpy()
         if len(u) == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "n_sessions": pa.array([], pa.int64()),
                              "n_events": pa.array([], pa.int64())})
-        o = np.lexsort((lt, ft, u))
-        u, ft, lt, n, inner = u[o], ft[o], lt[o], n[o], inner[o]
+        o = np.lexsort((ts, u))
+        u, ts = u[o], ts[o]
         same = u[1:] == u[:-1]
         starts = np.r_[0, np.flatnonzero(~same) + 1]
-        # gap between consecutive blocks of the SAME user
-        brk = ((ft[1:] - lt[:-1] > gap_us) & same).astype(np.int64)
-        cbrk = np.r_[0, np.cumsum(brk)]
         ends = np.r_[starts[1:], len(u)]
-        boundary_breaks = cbrk[ends - 1] - cbrk[starts]
+        brk = ((ts[1:] - ts[:-1] > gap_us) & same).astype(np.int64)
+        cbrk = np.r_[0, np.cumsum(brk)]
         return pa.table({
             "user_id": pa.array(u[starts]),
-            "n_sessions": pa.array(np.add.reduceat(inner, starts)
-                                   + boundary_breaks + 1),
-            "n_events": pa.array(np.add.reduceat(n, starts)),
+            "n_sessions": pa.array(cbrk[ends - 1] - cbrk[starts] + 1),
+            "n_events": pa.array(ends - starts),
         })
 
-    return (partials.groupby("gkey")
-            .map_groups(merge_group, batch_format="pyarrow")
+    return (events_ds.select_columns(["user_id", "ts"])
+            .map_batches(add_gkey, batch_format="pyarrow")
+            .groupby("gkey")
+            .map_groups(sessions_group, batch_format="pyarrow")
             .select_columns(["user_id", "n_sessions", "n_events"]))
