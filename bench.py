@@ -173,13 +173,69 @@ def bench_queries() -> dict:
     return out
 
 
-def bench_corpus() -> dict:
-    """clean_corpus wall over $GRAFT_SF_DIR — best of GRAFT_CORPUS_REPS
-    in-process reps (rep 1 pays worker warmup; exogenous VM noise only
-    inflates, so min is the steady-state statistic)."""
+def synth_docs_parquet(n_docs: int, path: str, seed: int = 23) -> str:
+    """Deterministic synthetic documents table (doc_id, text) for the
+    corpus-scaling measurement: the sf0.1 fixture's 5k docs finish in
+    ~2.5 s of pure Ray job floor at ANY parallelism, so scaling there
+    measures scheduling, not the pipeline. Texts are English-ish
+    (stopwords interleaved with letters-only hash words, so the
+    quality/langid filters keep them) and mutually dissimilar (near-dup
+    rate ~0 — the streaming-filter + hash path, which is the 100-TB
+    regime, dominates). Pure numpy/pyarrow; no Ray needed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    if os.path.exists(path):
+        return path
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__ as entry
-    fn = entry.queries()["clean_corpus"]
+    from ray_linkgraph._util import hash_u64
+    words_per_doc = 60
+    vocab_n = 50_000
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    u = hash_u64(np.uint64(seed), np.arange(vocab_n * 4,
+                                            dtype=np.uint64))
+    idx = (u % np.uint64(26)).astype(np.int64).reshape(vocab_n, 4)
+    vocab = np.array(["".join(row) for row in letters[idx]], dtype=object)
+    stop = np.array(["the", "and", "of", "to", "in", "is", "that",
+                     "for", "with", "as"], dtype=object)
+    ids = (hash_u64(np.uint64(seed + 1),
+                    np.arange(n_docs * words_per_doc, dtype=np.uint64))
+           % np.uint64(vocab_n)).astype(np.int64) \
+        .reshape(n_docs, words_per_doc)
+    toks = vocab[ids]
+    toks[:, ::5] = stop[np.arange(n_docs)[:, None] % 10]  # en stopword mix
+    texts = [" ".join(row) for row in toks]
+    # small row groups: Ray Data parallelizes a parquet read per row
+    # group — one big group would make every map stage a single task
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n_docs),
+    }), path, row_group_size=2048)
+    return path
+
+
+def bench_corpus() -> dict:
+    """clean_corpus wall — best of GRAFT_CORPUS_REPS in-process reps
+    (rep 1 pays worker warmup; exogenous VM noise only inflates, so min
+    is the steady-state statistic). Input: $GRAFT_SF_DIR documents, or
+    the deterministic synthetic corpus when GRAFT_CORPUS_DOCS is set
+    (the scaling protocol — big enough to be compute-bound)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    n_synth = int(os.environ.get("GRAFT_CORPUS_DOCS", "0") or 0)
+    if n_synth:
+        import ray.data as rd
+        from ray_linkgraph.ops import pipelines
+        path = synth_docs_parquet(
+            n_synth, os.path.join(TMP, f"scaling_docs_{n_synth}.parquet"))
+
+        def fn(_):
+            kept, _audit = pipelines.clean_corpus(
+                rd.read_parquet(path), num_partitions=max(2, NCPU))
+            return kept.count()
+    else:
+        import __ray_entry__ as entry
+        fn = entry.queries()["clean_corpus"]
     reps = max(1, int(os.environ.get("GRAFT_CORPUS_REPS", "2")))
     walls = []
     rows = 0
@@ -189,19 +245,28 @@ def bench_corpus() -> dict:
         if hasattr(res, "to_pandas") and not hasattr(res, "num_rows"):
             res = res.to_pandas()
         walls.append(round(time.monotonic() - t0, 3))
-        rows = len(res)
+        rows = res if isinstance(res, int) else len(res)
     return {"corpus_sec": min(walls), "corpus_rep_secs": walls,
-            "corpus_rows": rows}
+            "corpus_rows": rows, "corpus_docs": n_synth or "sf"}
 
 
 def scaling_corpus():
-    """clean_corpus at N and 4N cpus, fresh processes, same fixture;
-    efficiency = (t_N / t_4N) / 4 over the best in-process rep."""
+    """clean_corpus at N and 4N cpus, fresh processes, same input;
+    efficiency = (t_N / t_4N) / 4 over the best in-process rep.
+    Default input: the 150k-doc deterministic synthetic corpus
+    (GRAFT_CORPUS_DOCS to change; 0 = use the sf fixture, which at
+    sf0.1 is job-floor-bound at ~2.5 s and measures scheduling)."""
     n_lo = int(os.environ.get("GRAFT_SCALING_N", "2"))
     n_hi = 4 * n_lo
+    n_docs = os.environ.get("GRAFT_CORPUS_DOCS", "150000")
+    if int(n_docs or 0):
+        os.makedirs(TMP, exist_ok=True)
+        synth_docs_parquet(int(n_docs), os.path.join(
+            TMP, f"scaling_docs_{int(n_docs)}.parquet"))  # build ONCE
     results = {}
     for n in (n_lo, n_hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_CORPUS_DOCS=str(n_docs))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--corpus-only"],
             env=env, capture_output=True, text=True, check=True,
@@ -218,6 +283,7 @@ def scaling_corpus():
         f"rep_secs_{n_lo}": lo["corpus_rep_secs"],
         f"rep_secs_{n_hi}": hi["corpus_rep_secs"],
         "corpus_rows": lo["corpus_rows"],
+        "corpus_docs": lo.get("corpus_docs"),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }))
 

@@ -205,6 +205,10 @@ def _coarse_group(cols):
 
 
 def _band_pairs(bands_ds):
+    """Raw candidate (a, b) pairs from the banded buckets — NOT
+    deduplicated across bands (a pair sharing k bands appears up to k
+    times; callers that collect dedup with ``_unique_pairs_np``,
+    callers that stay distributed wrap in ``_dedup_pairs``)."""
     def gen(t: pa.Table) -> pa.Table:
         lo, hi, _ = _runs_pairs(
             (t.column("band").to_numpy(), t.column("band_hash").to_numpy()),
@@ -212,10 +216,23 @@ def _band_pairs(bands_ds):
         return pa.table({"a": pa.array(lo, type=pa.int64()),
                          "b": pa.array(hi, type=pa.int64())})
 
-    return _dedup_pairs(
-        bands_ds.map_batches(_coarse_group(["band", "band_hash"]),
-                             batch_format="pyarrow")
-        .groupby("_g").map_groups(gen, batch_format="pyarrow"))
+    return bands_ds.map_batches(_coarse_group(["band", "band_hash"]),
+                                batch_format="pyarrow") \
+        .groupby("_g").map_groups(gen, batch_format="pyarrow")
+
+
+def _unique_pairs_np(t: pa.Table) -> pa.Table:
+    """Driver-side (a, b) dedup of a COLLECTED sparse pair table —
+    replaces a whole distributed groupby job (~1-2 s fixed) for pair
+    sets that are about to be driver-processed anyway."""
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    if len(a) == 0:
+        return t
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    keep = np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)]
+    return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
 
 VERIFY_SINGLE_TASK_MAX = 2_000_000   # candidate pairs; above this the
@@ -264,9 +281,13 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
     # reuse warm workers and skip the per-query actor-pool startup
     from ..extract import _task_cap
     cap = _task_cap(concurrency)
+    # materialize the band table before the bucket shuffle: feeding the
+    # hash-shuffle aggregators lazily serializes the (CPU-heavy) minhash
+    # maps behind shuffle backpressure — measured 2-4x slower end-to-end
+    # on a 150k-doc corpus at 8 cpus than map-then-shuffle
     bands = docs_ds.map_batches(MinHashStage(), batch_format="pyarrow",
-                                concurrency=cap)
-    pairs_tbl = _pairs_table(_band_pairs(bands))
+                                concurrency=cap).materialize()
+    pairs_tbl = _unique_pairs_np(_pairs_table(_band_pairs(bands)))
     if pairs_tbl.num_rows == 0:
         labels = connected_components(ray.data.from_arrow(pairs_tbl))
         return assign_clusters(docs_ds, labels)
