@@ -86,7 +86,11 @@ def clean_corpus(docs_ds, min_quality: float = 0.5, min_tokens: int = 5,
                  id_col: str = "doc_id", num_partitions: int = 32):
     """-> (kept Dataset, audit dict). Quality/language filter, then
     exact+near dedup keeping cluster representatives."""
-    n0 = docs_ds.count()
+    # materialize the input once: count() on a lazy read would execute
+    # a whole extra pass just for the audit number (and the dedup stage
+    # re-reads the filtered set anyway)
+    docs_ds = docs_ds.materialize()
+    n0 = docs_ds.count()                       # metadata-only
     filtered = quality_filter(docs_ds, min_quality, min_tokens, langs,
                               id_col=id_col).materialize()
     n1 = filtered.count()
