@@ -353,6 +353,67 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.8,
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_adjacent(docs_ds, n_coarse: int = 32):
+    """Exact token-3-gram Jaccard similarity of every ADJACENT doc-id
+    pair (doc_id, doc_id+1) -> Dataset(a, b, jaccard rounded 10dp).
+
+    The standalone exact-Jaccard operator (the same measure the LSH
+    verify stage applies to candidates) over a deterministic pair set.
+    Band-join-style co-location: one corpus pass computes each doc's
+    unique-shingle blob (whole-batch vectorized texthash kernel) and
+    emits it to its ≤2 pair groups, so pairing needs no corpus-wide
+    join and each coarse group verifies its pairs with C-speed
+    ``np.intersect1d``. Pair p is complete only when both members
+    exist (boundary docs drop out)."""
+    from .._util import hash_u64
+
+    def blobs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        _, sh, seg = texthash.shingle_sets(batch.column("text"))
+        blob = [sh[seg[i]:seg[i + 1]].astype(np.int64).tobytes()
+                for i in range(len(ids))]
+        pid = np.concatenate([ids, ids - 1])   # as left member / right
+        role = np.r_[np.zeros(len(ids), np.int64),
+                     np.ones(len(ids), np.int64)]
+        g = (hash_u64(pid.astype(np.uint64))
+             % np.uint64(n_coarse)).astype(np.int64)
+        return pa.table({"p": pa.array(pid), "role": pa.array(role),
+                         "blob": pa.array(blob + blob, type=pa.binary()),
+                         "_g": pa.array(g)})
+
+    def pair_group(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy()
+        role = t.column("role").to_numpy()
+        blob = t.column("blob").to_pylist()
+        o = np.lexsort((role, p))
+        p, role = p[o], role[o]
+        # complete pairs = runs of exactly (role 0, role 1) on one p
+        first = np.r_[True, p[1:] != p[:-1]]
+        complete = first & np.r_[p[1:] == p[:-1], False] \
+            & (role == 0) & np.r_[role[1:] == 1, False]
+        idx = np.flatnonzero(complete)
+        a_out = np.empty(len(idx), dtype=np.int64)
+        jac = np.empty(len(idx), dtype=np.float64)
+        for k, i in enumerate(idx):
+            x = np.frombuffer(blob[o[i]], dtype=np.int64)
+            y = np.frombuffer(blob[o[i + 1]], dtype=np.int64)
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            union = len(x) + len(y) - inter
+            a_out[k] = p[i]
+            jac[k] = inter / union if union else 1.0
+        return pa.table({"a": pa.array(a_out),
+                         "b": pa.array(a_out + 1),
+                         "jaccard": pa.array(np.round(jac, 10))})
+
+    return (docs_ds.map_batches(blobs, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(pair_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -136,6 +136,11 @@ def q_minhash_dedup(sf_dir):
     return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def q_ngram_jaccard(sf_dir):
+    """Exact 3-gram Jaccard of every adjacent doc-id pair."""
+    return dedup.ngram_jaccard_adjacent(_docs(sf_dir))
+
+
 def q_simhash_dedup(sf_dir):
     return dedup.simhash_neardup(_docs(sf_dir), max_hamming=3)
 
@@ -466,6 +471,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "topk_per_lang": q_topk_per_lang,
         "minhash_lsh_dedup": q_minhash_dedup,
+        "ngram_jaccard_adj": q_ngram_jaccard,
         "simhash_neardup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
         "knn_cosine_brute": q_knn_brute,
@@ -554,6 +560,14 @@ SELECT doc_id, lang, n_chars, rank FROM r
 WHERE rank <= {TOPK_PER_LANG} ORDER BY lang, rank""",
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_lsh_dedup": _minhash_sql(),
+        "ngram_jaccard_adj": f"""
+WITH {texthash.sql_shingle_ctes()}
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+             / len(list_distinct(s1.shingles || s2.shingles)), 10)
+         AS jaccard
+FROM shl s1 JOIN shl s2 ON s2.doc_id = s1.doc_id + 1
+ORDER BY a""",
         "simhash_neardup": _simhash_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "knn_cosine_brute": _knn_sql(),

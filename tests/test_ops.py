@@ -54,6 +54,26 @@ def test_simhash_neardup():
     assert by_id[2] == 2
 
 
+def test_ngram_jaccard_adjacent():
+    """Adjacent-pair exact Jaccard matches per-doc shingle-set math,
+    boundary docs drop out, chunking-independent."""
+    from ray_linkgraph.ops.dedup import (ngram_jaccard_adjacent,
+                                         _shingle_hashes, jaccard)
+    texts = [f"alpha beta gamma delta w{i} w{i+1} common tail words"
+             for i in range(7)]
+    t = pa.table({"doc_id": pa.array(range(7), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = ngram_jaccard_adjacent(rd.from_arrow(t), n_coarse=3) \
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    assert out["a"].tolist() == list(range(6))          # 0..5 complete
+    assert (out["b"].to_numpy() == out["a"].to_numpy() + 1).all()
+    for _, r in out.iterrows():
+        exp = jaccard(_shingle_hashes(texts[int(r["a"])]),
+                      _shingle_hashes(texts[int(r["b"])]))
+        assert abs(r["jaccard"] - round(exp, 10)) == 0
+    assert (out["jaccard"] > 0).all() and (out["jaccard"] < 1).all()
+
+
 def test_jaccard_exact():
     a = dedup._shingle_hashes("a b c d e")
     assert dedup.jaccard(a, a) == 1.0
