@@ -374,15 +374,18 @@ def decode_media(media_ds, codec: str = "fake", batch_size: int = 64,
                  channel_sums: bool = False, decoder_hook=None):
     """Small batch_size on purpose: wide binary rows — batch x
     concurrency must fit the worker heap (SURVEY.md memory notes).
-    ``decoder_hook`` plugs an external-library codec into the actor
-    pool for formats the built-ins decline (see MediaDecoder)."""
+    ``decoder_hook`` plugs an external-library codec in for formats the
+    built-ins decline (see MediaDecoder). Runs as a warm TASK pool (the
+    decoder state is a handful of scalars + the hook callable — nothing
+    to amortize in an actor __init__, and actor pools ship constructor
+    blobs through the object store, the ray#53727 restart hazard)."""
+    from ..extract import _task_cap
+    dec = MediaDecoder(codec=codec, feat_dim=feat_dim,
+                       channel_sums=channel_sums,
+                       decoder_hook=decoder_hook)
     return media_ds.map_batches(
-        MediaDecoder, fn_constructor_kwargs={"codec": codec,
-                                             "feat_dim": feat_dim,
-                                             "channel_sums": channel_sums,
-                                             "decoder_hook": decoder_hook},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        dec, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_task_cap(concurrency))
 
 
 def frame_sample_indices(n_frames: int, every_k: int = 10) -> np.ndarray:
