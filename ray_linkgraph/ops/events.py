@@ -16,22 +16,55 @@ import pyarrow as pa
 US_PER_S = 1_000_000
 
 
-def _combine_partials(partials_ds):
-    """groupby-sum of (user_id, window_id, value_sum, n) partials ->
+def _combine_partials(partials_ds, n_coarse: int | None = None):
+    """Combine (user_id, window_id, value_sum, n) partials ->
     (user_id, window_id, n_events, sum_value) with the 6-decimal
-    rounding the oracles replicate."""
-    from ray.data.aggregate import Sum
+    rounding the oracles replicate.
 
-    out = (partials_ds.groupby(["user_id", "window_id"])
-           .aggregate(Sum("n", alias_name="n_events"),
-                      Sum("value_sum", alias_name="sum_value")))
+    COARSE-hash shuffle + one lexsort/reduceat kernel per group instead
+    of ``groupby(keys).aggregate(Sum)``: Ray's native aggregate builds
+    each of the O(users × windows) groups individually (measured 6.2 s
+    vs 0.7 s on 383k partial rows at 32 cpus) — the house kernel
+    pattern keeps the reduce whole-group vectorized at any group
+    count."""
+    import ray
+    from .._util import hash_u64
 
-    def round_sum(batch: pa.Table) -> pa.Table:
-        sv = np.round(batch.column("sum_value").to_numpy(), 6)
-        return batch.set_column(batch.schema.get_field_index("sum_value"),
-                                "sum_value", pa.array(sv))
+    if n_coarse is None:
+        n_coarse = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
 
-    return out.map_batches(round_sum, batch_format="pyarrow")
+    def add_gkey(t: pa.Table) -> pa.Table:
+        gk = (hash_u64(t.column("user_id").to_numpy().astype(np.uint64),
+                       t.column("window_id").to_numpy().astype(np.uint64))
+              % np.uint64(n_coarse)).astype(np.int64)
+        return t.append_column("gkey", pa.array(gk))
+
+    def agg_group(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        w = t.column("window_id").to_numpy()
+        n = t.column("n").to_numpy()
+        v = t.column("value_sum").to_numpy()
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "window_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        o = np.lexsort((w, u))
+        u, w, n, v = u[o], w[o], n[o], v[o]
+        starts = np.r_[0, np.flatnonzero((np.diff(u) != 0)
+                                         | (np.diff(w) != 0)) + 1]
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "window_id": pa.array(w[starts]),
+            "n_events": pa.array(np.add.reduceat(n, starts)),
+            "sum_value": pa.array(np.round(np.add.reduceat(v, starts), 6)),
+        })
+
+    return (partials_ds.map_batches(add_gkey, batch_format="pyarrow")
+            .groupby("gkey")
+            .map_groups(agg_group, batch_format="pyarrow")
+            .select_columns(["user_id", "window_id",
+                             "n_events", "sum_value"]))
 
 
 def _partial_agg(t: pa.Table) -> pa.Table:
