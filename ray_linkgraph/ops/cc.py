@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from .._util import drop_empty_blocks
 
@@ -87,12 +87,19 @@ def connected_components(pairs_ds, max_rounds: int = 50,
         for bundle in pairs_ds.iter_internal_ref_bundles():
             refs.extend(r for r, _ in bundle.blocks)
         return ray.data.from_arrow_refs([_cc_local.remote(*refs)])
+    from .._util import agg_by_int_keys
+
     edges = drop_empty_blocks(
         pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
     if edges is None:
         return empty
+    # min-aggregates run through the coarse-hash reduceat combiner
+    # (agg_by_int_keys): the native per-group aggregate is O(groups)
+    # Python — this path only runs above CC_SINGLE_TASK_MAX pairs,
+    # where groups = nodes is large by definition
     labels = drop_empty_blocks(
-        edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
+        agg_by_int_keys(edges, ["src"], "dst", "nmin", reduce="min",
+                        n_coarse=4 * num_partitions)
         .map_batches(
             lambda t: pa.table({
                 "node": t.column("src"),
@@ -117,8 +124,8 @@ def connected_components(pairs_ds, max_rounds: int = 50,
                                     "label": t.column("label")}),
                 batch_format="pyarrow")
         nxt = drop_empty_blocks(
-            msgs.union(labels).groupby("node")
-            .aggregate(Min("label", alias_name="label")))
+            agg_by_int_keys(msgs.union(labels), ["node"], "label", "label",
+                            reduce="min", n_coarse=4 * num_partitions))
         if nxt is None:
             break
         labels = nxt

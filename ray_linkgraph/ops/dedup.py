@@ -61,26 +61,92 @@ def content_hash(batch: pa.Table, text_col: str = "text",
                      "content_hash": pa.array(hs, type=pa.string())})
 
 
-def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """-> Dataset(content_hash, keep_doc_id=min id, dup_count)."""
-    from ray.data.aggregate import Count, Min
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                n_coarse: int = 64):
+    """-> Dataset(content_hash, keep_doc_id=min id, dup_count).
 
-    hashed = docs_ds.map_batches(
-        lambda b: content_hash(b, text_col, id_col), batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="keep_doc_id"),
-        Count(alias_name="dup_count"))
+    Coarse-hash combine instead of ``groupby(content_hash)`` — the
+    native aggregate materializes one group per DISTINCT document
+    (O(corpus) groups); here each batch pre-combines to one row per
+    local hash, the shuffle has n_coarse groups, and the merge kernel
+    lexsorts the fixed-width md5-hex bytes (exact string grouping, no
+    64-bit truncation)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy()
+        digests = [hashlib.md5(s.encode("utf-8")).digest() for s in texts]
+        harr = np.array([d.hex() for d in digests], dtype="S32")
+        order = np.lexsort((ids, harr))
+        h2, i2 = harr[order], ids[order]
+        starts = np.r_[0, np.flatnonzero(h2[1:] != h2[:-1]) + 1] \
+            if len(h2) else np.zeros(0, dtype=np.int64)
+        counts = np.diff(np.r_[starts, len(h2)])
+        hk = h2[starts]
+        # coarse key from the first 8 raw hex bytes (deterministic)
+        gk = (np.frombuffer(hk.tobytes(), dtype=np.uint64)[::4]
+              % np.uint64(n_coarse)).astype(np.int64) \
+            if len(hk) else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "content_hash": pa.array(hk.astype("U32")),
+            "keep_doc_id": pa.array(i2[starts]),   # min id (ids sorted)
+            "dup_count": pa.array(counts.astype(np.int64)),
+            "_g": pa.array(gk),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        harr = np.array(t.column("content_hash").to_pylist(), dtype="S32")
+        keep = t.column("keep_doc_id").to_numpy()
+        cnt = t.column("dup_count").to_numpy()
+        order = np.lexsort((keep, harr))
+        h2, k2, c2 = harr[order], keep[order], cnt[order]
+        starts = np.r_[0, np.flatnonzero(h2[1:] != h2[:-1]) + 1] \
+            if len(h2) else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "content_hash": pa.array(h2[starts].astype("U32")),
+            "keep_doc_id": pa.array(k2[starts]),
+            "dup_count": pa.array(np.add.reduceat(c2, starts)
+                                  if len(starts) else c2[:0]),
+        })
+
+    return (docs_ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("_g").map_groups(merge, batch_format="pyarrow")
+            .select_columns(["content_hash", "keep_doc_id", "dup_count"]))
 
 
 # ---------------------------------------------------------------------------
 # shared: candidate-pair helpers
 # ---------------------------------------------------------------------------
 
-def _dedup_pairs(pairs_ds):
-    """Distinct (a, b) rows via a hash-partitioned groupby."""
-    from ray.data.aggregate import Count
-    return pairs_ds.groupby(["a", "b"]) \
-        .aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+def _dedup_pairs(pairs_ds, n_coarse: int = 32):
+    """Distinct (a, b) rows — coarse-hash shuffle with per-batch local
+    dedup and one lexsort run-dedup kernel per group (the native
+    groupby materializes one group per distinct PAIR)."""
+    from .._util import hash_u64
+
+    def _distinct(t: pa.Table, with_gkey: bool) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        if len(a):
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            keep = np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)]
+            a, b = a[keep], b[keep]
+        cols = {"a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64())}
+        if with_gkey:
+            gk = (hash_u64(a.astype(np.uint64), b.astype(np.uint64))
+                  % np.uint64(n_coarse)).astype(np.int64) \
+                if len(a) else np.zeros(0, dtype=np.int64)
+            cols["_g"] = pa.array(gk)
+        return pa.table(cols)
+
+    return (pairs_ds.map_batches(lambda t: _distinct(t, True),
+                                 batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda t: _distinct(t, False),
+                        batch_format="pyarrow")
+            .select_columns(["a", "b"]))
 
 
 
