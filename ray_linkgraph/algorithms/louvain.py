@@ -44,7 +44,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..graph import Graph
 
@@ -96,8 +95,8 @@ def louvain_communities(graph: Graph, max_rounds: int = 10,
                               num_partitions)
     all_nodes = np.arange(graph.V, dtype=np.int64)
 
-    kd = _collect(edges.groupby("src_id").aggregate(
-        Sum("weight", alias_name="k")))
+    from .._util import agg_by_int_keys
+    kd = _collect(agg_by_int_keys(edges, ["src_id"], "weight", "k"))
     k_v = np.zeros(graph.V, dtype=np.float64)
     k_v[kd.column("src_id").to_numpy()] = kd.column("k").to_numpy()
     labels = _local_moving_bcast(
@@ -199,8 +198,9 @@ def _local_moving_bcast(edges, V, k_v, two_m, max_rounds,
             n2, c2 = n0[runs], c0[runs]
             kvc = np.add.reduceat(w0, runs)
         else:
-            kvc_tbl = _collect(partials.groupby(["node", "cand"])
-                               .aggregate(Sum("kvc", alias_name="kvc")))
+            from .._util import agg_by_int_keys as _agg
+            kvc_tbl = _collect(_agg(partials, ["node", "cand"],
+                                    "kvc", "kvc"))
             if kvc_tbl is None:
                 break
             n2 = kvc_tbl.column("node").to_numpy().astype(np.int64)
@@ -288,13 +288,15 @@ def _louvain_large(graph: Graph, edges, two_m: float, max_rounds: int,
     round is hash joins + groupbys + coarse-hashed vectorized argmax
     kernels. Nothing O(V) or O(E) touches the driver (per-round driver
     traffic is one small count)."""
+    from .._util import agg_by_int_keys
+
     labels = ray.data.range(graph.V).map_batches(
         lambda t: pa.table({"node": t.column("id"),
                             "cur": t.column("id")}),
         batch_format="pyarrow").materialize()
-    k_ds = edges.groupby("src_id").aggregate(
-        Sum("weight", alias_name="k")).rename_columns(
-        {"src_id": "knode"}).materialize()
+    k_ds = agg_by_int_keys(edges, ["src_id"], "weight", "k",
+                           n_coarse=4 * num_partitions) \
+        .rename_columns({"src_id": "knode"}).materialize()
     return _local_moving_join(labels, edges, k_ds, two_m, max_rounds,
                               num_partitions) \
         .rename_columns({"cur": "community"})
@@ -333,19 +335,28 @@ def _local_moving_join(labels, edges, k_ds, two_m: float, max_rounds: int,
     labels = drop_empty_blocks(labels)
     k_ds = drop_empty_blocks(k_ds)
 
+    from .._util import agg_by_int_keys
+
+    def _agg_ne(ds, keys, val, out):
+        """coarse-kernel aggregate over a join output (native
+        per-group aggregation is O(groups) Python; empty schema-less
+        join blocks are scrubbed first)."""
+        return agg_by_int_keys(drop_empty_blocks(ds), keys, val, out,
+                               n_coarse=4 * num_partitions)
+
     for _ in range(max_rounds):
         # community totals: tot(c) = sum of member degrees
         tot = drop_empty_blocks(
-            labels.join(k_ds, "inner", num_partitions=num_partitions,
-                        on=("node",), right_on=("knode",))
-            .groupby("cur").aggregate(Sum("k", alias_name="tot"))
+            _agg_ne(labels.join(k_ds, "inner",
+                                num_partitions=num_partitions,
+                                on=("node",), right_on=("knode",)),
+                    ["cur"], "k", "tot")
             .rename_columns({"cur": "comm"}).materialize())
         # k_{v,c}: one edge pass joined to the dst labels
-        kvc = edges.join(
+        kvc = _agg_ne(edges.join(
             labels, "inner", num_partitions=num_partitions,
-            on=("dst_id",), right_on=("node",)) \
-            .groupby(["src_id", "cur"]) \
-            .aggregate(Sum("weight", alias_name="kvc")) \
+            on=("dst_id",), right_on=("node",)),
+            ["src_id", "cur"], "weight", "kvc") \
             .rename_columns({"src_id": "node", "cur": "cand"})
         # decorate with own label, degree, tot(cand), tot(cur)
         j = drop_empty_blocks(kvc).join(
@@ -392,7 +403,9 @@ def _contracted_moving_join(ct_ds, two_m: float, max_rounds: int,
     is a self-loop."""
     from .._util import drop_empty_blocks
 
-    k_ds = ct_ds.groupby("ca").aggregate(Sum("weight", alias_name="k")) \
+    from .._util import agg_by_int_keys
+    k_ds = agg_by_int_keys(ct_ds, ["ca"], "weight", "k",
+                           n_coarse=4 * num_partitions) \
         .rename_columns({"ca": "knode"}).materialize()
     labels = k_ds.map_batches(
         lambda t: pa.table({"node": t.column("knode"),
@@ -521,8 +534,10 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
                 lab_ds.rename_columns({"node": "dnode", "community": "cb"}),
                 "inner", num_partitions=num_partitions,
                 on=("dst_id",), right_on=("dnode",))
-            ct_ds = e2.groupby(["ca", "cb"]) \
-                .aggregate(Sum("weight", alias_name="weight")).materialize()
+            from .._util import agg_by_int_keys
+            ct_ds = agg_by_int_keys(
+                drop_empty_blocks(e2), ["ca", "cb"], "weight", "weight",
+                n_coarse=4 * num_partitions).materialize()
             n_ct = ct_ds.count()                 # metadata-only
             if n_ct == 0:
                 break
