@@ -145,7 +145,8 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
 def band_join_count(left_ds, right_ds, on: str = "ts",
                     band_us: int = 300_000_000,
                     left_key: str = "event_id",
-                    out_col: str = "n_in_band"):
+                    out_col: str = "n_in_band",
+                    n_coarse: int = 64):
     """For every left row, COUNT of right rows with
     ``|right.on - left.on| <= band_us`` (inclusive band/range join,
     aggregated — the join output itself would be quadratic in dense
@@ -154,9 +155,20 @@ def band_join_count(left_ds, right_ds, on: str = "ts",
     Right rows are replicated to their home time bucket ±1 (bucket
     width = band_us, so a left row's band spans at most its own and
     the two adjacent buckets); each left row is evaluated in exactly
-    one group, so no double counting.
+    one bucket, so no double counting. Buckets shuffle under a COARSE
+    hash key (n_coarse groups — one group per time bucket would cost a
+    Python call per bucket), and the per-group count is ONE pair of
+    composite-key searchsorteds over all of the group's buckets at
+    once: rows within bucket b carry offsets ts − (b−1)·bw ∈ [0, 3·bw),
+    so key = b·2bw + ts + bw is monotone in (bucket, ts) and per-row
+    band bounds never leave their own bucket's key range.
     """
     bw = np.int64(band_us)
+    from .._util import hash_u64
+
+    def _gk(b: np.ndarray) -> pa.Array:
+        return pa.array((hash_u64(b.astype(np.uint64))
+                         % np.uint64(n_coarse)).astype(np.int64))
 
     def rep_right(t: pa.Table) -> pa.Table:
         ts = _ts_us(t.column(on))
@@ -167,33 +179,43 @@ def band_join_count(left_ds, right_ds, on: str = "ts",
             "_ts": pa.array(np.tile(ts, 3), type=pa.int64()),
             "_side": pa.array(np.zeros(3 * len(ts), dtype=np.int64)),
             left_key: pa.array(np.full(3 * len(ts), -1, dtype=np.int64)),
+            "_g": _gk(buckets),
         })
 
     def tag_left(t: pa.Table) -> pa.Table:
         ts = _ts_us(t.column(on))
+        b = ts // bw
         return pa.table({
-            "_b": pa.array(ts // bw, type=pa.int64()),
+            "_b": pa.array(b, type=pa.int64()),
             "_ts": pa.array(ts, type=pa.int64()),
             "_side": pa.array(np.ones(len(ts), dtype=np.int64)),
             left_key: t.column(left_key),
+            "_g": _gk(b),
         })
 
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
     rt = right_ds.select_columns([on]).map_batches(rep_right,
                                                    batch_format="pyarrow")
 
-    def group(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 1]
-        if len(l) == 0:
-            return pd.DataFrame({left_key: np.zeros(0, dtype=np.int64),
-                                 out_col: np.zeros(0, dtype=np.int64)})
-        rts = np.sort(df.loc[df["_side"] == 0, "_ts"].to_numpy())
-        lts = l["_ts"].to_numpy()
-        n = (np.searchsorted(rts, lts + band_us, side="right")
-             - np.searchsorted(rts, lts - band_us, side="left"))
-        return pd.DataFrame({left_key: l[left_key].to_numpy(),
-                             out_col: n.astype(np.int64)})
+    def comp(b: np.ndarray, ts: np.ndarray) -> np.ndarray:
+        return b * (2 * bw) + ts + bw
+
+    def group(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy()
+        b = t.column("_b").to_numpy()
+        ts = t.column("_ts").to_numpy()
+        L = side == 1
+        if not L.any():
+            return pa.table({left_key: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        lkey = t.column(left_key).to_numpy()[L]
+        rkeys = np.sort(comp(b[~L], ts[~L]))
+        lb, lts = b[L], ts[L]
+        n = (np.searchsorted(rkeys, comp(lb, lts + bw), side="right")
+             - np.searchsorted(rkeys, comp(lb, lts - bw), side="left"))
+        return pa.table({left_key: pa.array(lkey),
+                         out_col: pa.array(n.astype(np.int64))})
 
     return (lt.union(rt)
-            .groupby("_b")
-            .map_groups(group, batch_format="pandas"))
+            .groupby("_g")
+            .map_groups(group, batch_format="pyarrow"))
