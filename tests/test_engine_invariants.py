@@ -33,6 +33,38 @@ def test_pagerank_layout_independent(work_dir):
     assert np.allclose(r2, r4, atol=1e-12, rtol=0)
 
 
+@settings(max_examples=5, deadline=None)  # each example runs Ray jobs
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(-5, 5),
+                          st.integers(-1000, 1000)),
+                min_size=1, max_size=200),
+       st.sampled_from(["sum", "min"]))
+def test_agg_by_int_keys_matches_plain_groupby(rows, reduce):
+    """The coarse-hash reduceat combiner must equal a plain dict
+    groupby for any integer data, any chunking, both reductions."""
+    from ray_linkgraph._util import agg_by_int_keys
+    a = np.array([r[0] for r in rows], dtype=np.int64)
+    b = np.array([r[1] for r in rows], dtype=np.int64)
+    v = np.array([r[2] for r in rows], dtype=np.int64)
+    t = pa.table({"ka": pa.array(a), "kb": pa.array(b), "v": pa.array(v)})
+    exp = {}
+    for ka, kb, vv in rows:
+        key = (ka, kb)
+        if reduce == "sum":
+            exp[key] = exp.get(key, 0) + vv
+        else:
+            exp[key] = min(exp.get(key, vv), vv)
+    # several block layouts -> identical result
+    for nblocks in (1, 3):
+        ds = rd.from_arrow([t.slice(i * len(t) // nblocks,
+                                    (i + 1) * len(t) // nblocks
+                                    - i * len(t) // nblocks)
+                            for i in range(nblocks)])
+        out = agg_by_int_keys(ds, ["ka", "kb"], "v", "out",
+                              reduce=reduce, n_coarse=4).to_pandas()
+        got = {(r["ka"], r["kb"]): r["out"] for _, r in out.iterrows()}
+        assert got == exp
+
+
 def test_actor_pool_cache_reuse(work_dir, monkeypatch):
     """RLG_ACTOR_CACHE=1: successive runs on the same graph re-arm one
     retained partition-actor pool (same actor ids) instead of paying a
