@@ -82,19 +82,36 @@ def louvain_communities(graph: Graph, max_rounds: int = 10,
     moving; every vertex of the graph appears (isolated -> singleton).
     ``large_graph`` forces the join route (None = auto by V)."""
     edges = _edges_both_ds(graph).materialize()
-    two_m = float(edges.sum("weight") or 0.0)
     if large_graph is None:
         large_graph = graph.V >= LARGE_GRAPH_V
-    if two_m == 0:
-        all_nodes = np.arange(graph.V, dtype=np.int64)
+    all_nodes = np.arange(graph.V, dtype=np.int64)
+    singletons = pa.table({"node": pa.array(all_nodes),
+                           "community": pa.array(all_nodes)})
+    if not large_graph and edges.count() <= LOCAL_EDGES_MAX:
+        # local tier collects the edge list anyway: derive two_m and the
+        # degrees from the collected arrays instead of paying two extra
+        # Dataset jobs (sum + degree aggregate) of pure fixed overhead
+        t = _collect(edges)
+        if t is None:
+            return ray.data.from_arrow(singletons)
+        src = t.column("src_id").to_numpy().astype(np.int64)
+        dst = t.column("dst_id").to_numpy().astype(np.int64)
+        w = t.column("weight").to_numpy()
+        two_m = float(w.sum())
+        if two_m == 0:
+            return ray.data.from_arrow(singletons)
+        k_v = np.bincount(src, weights=w, minlength=graph.V)
+        labels = _local_moving_bcast((src, dst, w), graph.V, k_v, two_m,
+                                     max_rounds, small_edges=True)
         return ray.data.from_arrow(pa.table({
             "node": pa.array(all_nodes),
-            "community": pa.array(all_nodes)}))
+            "community": pa.array(labels)}))
+    two_m = float(edges.sum("weight") or 0.0)
+    if two_m == 0:
+        return ray.data.from_arrow(singletons)
     if large_graph:
         return _louvain_large(graph, edges, two_m, max_rounds,
                               num_partitions)
-    all_nodes = np.arange(graph.V, dtype=np.int64)
-
     from .._util import agg_by_int_keys
     kd = _collect(agg_by_int_keys(edges, ["src_id"], "weight", "k"))
     k_v = np.zeros(graph.V, dtype=np.float64)
@@ -494,13 +511,20 @@ def louvain_multilevel(graph: Graph, levels: int = 2,
     lab_ds = louvain_communities(graph, max_rounds, large_graph,
                                  num_partitions).materialize()
     edges = _edges_both_ds(graph).materialize()
-    two_m = float(edges.sum("weight") or 0.0)
+    local = edges.count() <= LOCAL_EDGES_MAX
+    if local:
+        # local tier: two_m from the collected weights (skips the
+        # Dataset-sum job — identical float: same block order)
+        et = _collect(edges)
+        if et is None:
+            return lab_ds
+        two_m = float(et.column("weight").to_numpy().sum())
+    else:
+        two_m = float(edges.sum("weight") or 0.0)
     if two_m == 0:
         return lab_ds
 
-    local = edges.count() <= LOCAL_EDGES_MAX
     if local:
-        et = _collect(edges)
         lt = _collect(lab_ds)
         les = et.column("src_id").to_numpy().astype(np.int64)
         led = et.column("dst_id").to_numpy().astype(np.int64)
