@@ -242,12 +242,25 @@ class SubGraphProgram(VertexProgram):
                 flat[noff[1:] - 1] = v_g[sel]
                 merged = RaggedCol(flat, noff)
                 if parent is self.tree.root:
-                    # distinct-data-ids filter, then collect at v
+                    # distinct-data-ids filter, then collect at v.
+                    # All rows of one tree-node arrival share a length
+                    # (same tree depth), so the check vectorizes as a
+                    # row-sorted adjacent-diff over an (n, k) id matrix
+                    # — the per-row np.unique loop here was the single
+                    # hottest line of the whole pipeline (a Python pass
+                    # over every root arrival, ~3M rows at sf0.1)
                     good = np.ones(len(merged), dtype=bool)
-                    for i in range(len(merged)):
-                        ids = merged.flat[
-                            merged.offsets[i] + 1:merged.offsets[i + 1]:2]
-                        good[i] = len(np.unique(ids)) == len(ids)
+                    lens = merged.lengths()
+                    for L in np.unique(lens):
+                        k = int(L) // 2
+                        if k <= 1:
+                            continue
+                        li = np.flatnonzero(lens == L)
+                        mat = merged.flat[
+                            merged.offsets[li][:, None]
+                            + np.arange(1, L, 2)[None, :]]
+                        srt = np.sort(mat, axis=1)
+                        good[li] = (np.diff(srt, axis=1) != 0).all(axis=1)
                     gi = np.flatnonzero(good)
                     if len(gi):
                         keepm = merged[gi]
@@ -283,62 +296,107 @@ class SubGraphProgram(VertexProgram):
         root_ok = self._match(self.tree.root.qv, vids)
         paths = self.tree.paths
         path_index = {tuple(p): i for i, p in enumerate(paths)}
-        res_rows, res_owner = [], []
-        for v in np.unique(owners):
-            if not root_ok[v]:
-                continue
-            rows = np.flatnonzero(owners == v)
-            groups: list[list[dict]] = [[] for _ in paths]
-            for r in rows:
-                seq = mp.flat[mp.offsets[r]:mp.offsets[r + 1]]
-                tns = tuple(seq[0::2].tolist())
-                pi = path_index.get(tns)
-                if pi is None:
-                    continue
-                phi = {self.tree.by_id[tn].qv: int(dv)
-                       for tn, dv in zip(seq[0::2], seq[1::2])}
-                groups[pi].append(phi)
-            if any(not grp for grp in groups):
-                continue
+        path_qvs = [[self.tree.by_id[tn].qv for tn in p] for p in paths]
 
-            def rec(gi, assign, used):
-                if gi == len(groups):
-                    emb = [assign[qv] for qv in sorted(assign)]
-                    res_rows.append(emb)
-                    res_owner.append(int(v))
-                    return
-                for phi in groups[gi]:
-                    add_qv, add_id, ok2 = [], [], True
-                    for qv, dv in phi.items():
-                        if qv in assign:
-                            if assign[qv] != dv:
-                                ok2 = False
-                                break
-                        else:
-                            if dv in used:
-                                ok2 = False
-                                break
-                            assign[qv] = dv
-                            used.add(dv)
-                            add_qv.append(qv)
-                            add_id.append(dv)
-                    if ok2:
-                        rec(gi + 1, assign, used)
-                    for qv in add_qv:
-                        del assign[qv]
-                    for dv in add_id:
-                        used.discard(dv)
+        # ---- vectorized row classification (no per-row Python): every
+        # row's (tree-node sequence) -> path index via per-length matrix
+        # slicing + unique-row inverse; the data-vertex vectors live in
+        # per-length matrices indexed by row position -----------------
+        lens = mp.lengths()
+        n_rows = len(mp)
+        pi_of_row = np.full(n_rows, -1, dtype=np.int64)
+        pos_of_row = np.zeros(n_rows, dtype=np.int64)
+        dv_mats: dict[int, np.ndarray] = {}
+        for L in np.unique(lens):
+            li = np.flatnonzero(lens == L)
+            Li = int(L)
+            tn_mat = mp.flat[mp.offsets[li][:, None]
+                             + np.arange(0, Li, 2)[None, :]]
+            dv_mats[Li] = mp.flat[mp.offsets[li][:, None]
+                                  + np.arange(1, Li, 2)[None, :]]
+            pos_of_row[li] = np.arange(len(li))
+            uniq, inv = np.unique(tn_mat, axis=0, return_inverse=True)
+            for u_i in range(len(uniq)):
+                pi = path_index.get(tuple(uniq[u_i].tolist()))
+                if pi is not None:
+                    pi_of_row[li[inv == u_i]] = pi
 
-            rec(0, {}, set())
-        if res_rows:
-            res = RaggedCol.from_lists(res_rows)
-            old = RaggedCol(state["res_flat"], state["res_off"])
-            allres = RaggedCol.concat([old, res])
-            state["res_flat"], state["res_off"] = allres.flat, \
-                allres.offsets
-            state["res_owner"] = np.concatenate(
-                [state["res_owner"],
-                 np.asarray(res_owner, dtype=np.int64)])
+        # ---- fully vectorized assembly: iterative multi-key hash join
+        # of the per-path candidate matrices on (owner + shared query
+        # vertices), then one sorted-row injectivity check — replaces a
+        # Python recursion that enumerated every cross-path combination
+        # (~150M candidate pairs at the sf0.1 gate for 9k matches) ----
+        ok_rows = np.flatnonzero(pi_of_row >= 0)
+        if not len(ok_rows):
+            return
+        mats, mat_qvs = [], []
+        for pi in range(len(paths)):
+            rows = np.flatnonzero(pi_of_row == pi)
+            if len(rows) == 0:
+                return                        # a path with no match rows
+            L = int(lens[rows[0]])
+            dvm = dv_mats[L][pos_of_row[rows]]
+            mats.append(np.column_stack([owners[rows], dvm]))
+            mat_qvs.append([-1] + path_qvs[pi])   # -1 = owner pseudo-qv
+
+        def join_pairs(ka: np.ndarray, kb: np.ndarray):
+            """(ia, ib) row-index pairs with ka[ia] == kb[ib] (multi-col
+            int64 keys) — unique-row group ids + sorted expansion."""
+            _, inv = np.unique(np.vstack([ka, kb]), axis=0,
+                               return_inverse=True)
+            ga, gb = inv[:len(ka)], inv[len(ka):]
+            ob = np.argsort(gb, kind="stable")
+            gb_s = gb[ob]
+            starts = np.searchsorted(gb_s, ga, side="left")
+            counts = np.searchsorted(gb_s, ga, side="right") - starts
+            ia = np.repeat(np.arange(len(ka), dtype=np.int64), counts)
+            total = int(counts.sum())
+            offs = np.r_[0, np.cumsum(counts)[:-1]]
+            pos = (np.repeat(starts, counts)
+                   + np.arange(total, dtype=np.int64)
+                   - np.repeat(offs, counts))
+            return ia, ob[pos]
+
+        cur, cur_qvs = mats[0], list(mat_qvs[0])
+        for gi in range(1, len(paths)):
+            nxt, nqvs = mats[gi], mat_qvs[gi]
+            shared = [q for q in nqvs if q in cur_qvs]
+            new_q = [q for q in nqvs if q not in cur_qvs]
+            ia, ib = join_pairs(
+                cur[:, [cur_qvs.index(q) for q in shared]],
+                nxt[:, [nqvs.index(q) for q in shared]])
+            if not len(ia):
+                return
+            add = nxt[ib][:, [nqvs.index(q) for q in new_q]] \
+                if new_q else np.zeros((len(ia), 0), dtype=np.int64)
+            cur = np.column_stack([cur[ia], add])
+            cur_qvs = cur_qvs + new_q
+        # root predicate on the owner column (local ids)
+        keep = root_ok[cur[:, 0]]
+        cur = cur[keep]
+        if not len(cur):
+            return
+        # injectivity: all DISTINCT query vertices map to distinct data
+        # vertices (sorted-row adjacent diff; identical semantics to the
+        # recursive used-set — shared qvs are single columns here)
+        dv_idx = [i for i, q in enumerate(cur_qvs) if q != -1]
+        ids = cur[:, dv_idx]
+        srt = np.sort(ids, axis=1)
+        good = (np.diff(srt, axis=1) != 0).all(axis=1)
+        cur = cur[good]
+        if not len(cur):
+            return
+        # embeddings ordered by query-vertex id (as the rec emitted)
+        qv_order = np.argsort(np.array([q for q in cur_qvs if q != -1]))
+        emb = cur[:, dv_idx][:, qv_order]
+        res = RaggedCol(emb.reshape(-1).astype(np.int64),
+                        np.arange(len(cur) + 1, dtype=np.int64)
+                        * emb.shape[1])
+        old = RaggedCol(state["res_flat"], state["res_off"])
+        allres = RaggedCol.concat([old, res])
+        state["res_flat"], state["res_off"] = allres.flat, allres.offsets
+        state["res_owner"] = np.concatenate(
+            [state["res_owner"], cur[:, 0].astype(np.int64)])
 
     def rescatter(self, ctx, state, g, s):
         return state["p_dst"], \
