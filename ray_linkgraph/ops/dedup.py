@@ -52,50 +52,84 @@ LSH_BANDS = texthash.LSH_BANDS
 # exact
 # ---------------------------------------------------------------------------
 
+def _md5_hex_keys(text_col) -> np.ndarray:
+    """The ONE md5 call site in the dedup family: fixed-width S32 hex
+    byte array (exact DuckDB ``md5()`` parity). Each call is a C digest
+    but the loop still pays ~1 µs/doc of interpreter overhead — at
+    scale prefer ``key="fingerprint"`` (whole-batch vectorized M31
+    fold, also oracle-expressible)."""
+    texts = (text_col.to_pylist() if not isinstance(text_col, list)
+             else text_col)
+    return np.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                     for s in texts], dtype="S32")
+
+
 def content_hash(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """Adds an md5 hex content hash (matches DuckDB's md5())."""
-    hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
-          for s in batch.column(text_col).to_pylist()]
+    hs = _md5_hex_keys(batch.column(text_col)).astype("U32")
     return pa.table({id_col: batch.column(id_col),
                      "content_hash": pa.array(hs, type=pa.string())})
 
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
-                n_coarse: int = 64):
+                n_coarse: int = 64, key: str = "md5"):
     """-> Dataset(content_hash, keep_doc_id=min id, dup_count).
+
+    ``key="md5"``: hex-string content key, byte-for-byte DuckDB
+    ``md5()`` parity (the compatibility mode — per-row C digests).
+    ``key="fingerprint"``: texthash M31 code-point fold as an int64 key
+    — whole-batch vectorized with zero per-row Python, the default
+    choice at 100-TB scale, and still SQL-expressible
+    (``texthash.sql_cp_fold``) so it oracle-gates identically.
 
     Coarse-hash combine instead of ``groupby(content_hash)`` — the
     native aggregate materializes one group per DISTINCT document
     (O(corpus) groups); here each batch pre-combines to one row per
-    local hash, the shuffle has n_coarse groups, and the merge kernel
-    lexsorts the fixed-width md5-hex bytes (exact string grouping, no
-    64-bit truncation)."""
+    local key, the shuffle has n_coarse groups, and the merge kernel
+    lexsorts the fixed-width keys (md5: S32 hex bytes — exact string
+    grouping, no 64-bit truncation; fingerprint: int64)."""
+    from .._util import hash_u64
+    if key not in ("md5", "fingerprint"):
+        raise ValueError(f"key must be 'md5' or 'fingerprint', got {key!r}")
+    fp_mode = key == "fingerprint"
+
+    def _keys(col) -> np.ndarray:
+        return (texthash.fingerprints(col) if fp_mode
+                else _md5_hex_keys(col))
+
+    def _key_out(h: np.ndarray) -> pa.Array:
+        return pa.array(h if fp_mode else h.astype("U32"))
+
+    def _coarse(hk: np.ndarray) -> np.ndarray:
+        if len(hk) == 0:
+            return np.zeros(0, dtype=np.int64)
+        if fp_mode:
+            return (hash_u64(hk.astype(np.uint64))
+                    % np.uint64(n_coarse)).astype(np.int64)
+        # first 8 raw hex bytes of the md5 (deterministic, uniform)
+        return (np.frombuffer(hk.tobytes(), dtype=np.uint64)[::4]
+                % np.uint64(n_coarse)).astype(np.int64)
 
     def pre(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        harr = _keys(batch.column(text_col))
         ids = batch.column(id_col).to_numpy()
-        digests = [hashlib.md5(s.encode("utf-8")).digest() for s in texts]
-        harr = np.array([d.hex() for d in digests], dtype="S32")
         order = np.lexsort((ids, harr))
         h2, i2 = harr[order], ids[order]
         starts = np.r_[0, np.flatnonzero(h2[1:] != h2[:-1]) + 1] \
             if len(h2) else np.zeros(0, dtype=np.int64)
         counts = np.diff(np.r_[starts, len(h2)])
         hk = h2[starts]
-        # coarse key from the first 8 raw hex bytes (deterministic)
-        gk = (np.frombuffer(hk.tobytes(), dtype=np.uint64)[::4]
-              % np.uint64(n_coarse)).astype(np.int64) \
-            if len(hk) else np.zeros(0, dtype=np.int64)
         return pa.table({
-            "content_hash": pa.array(hk.astype("U32")),
+            "content_hash": _key_out(hk),
             "keep_doc_id": pa.array(i2[starts]),   # min id (ids sorted)
             "dup_count": pa.array(counts.astype(np.int64)),
-            "_g": pa.array(gk),
+            "_g": pa.array(_coarse(hk)),
         })
 
     def merge(t: pa.Table) -> pa.Table:
-        harr = np.array(t.column("content_hash").to_pylist(), dtype="S32")
+        harr = (t.column("content_hash").to_numpy() if fp_mode else
+                np.array(t.column("content_hash").to_pylist(), dtype="S32"))
         keep = t.column("keep_doc_id").to_numpy()
         cnt = t.column("dup_count").to_numpy()
         order = np.lexsort((keep, harr))
@@ -103,7 +137,7 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         starts = np.r_[0, np.flatnonzero(h2[1:] != h2[:-1]) + 1] \
             if len(h2) else np.zeros(0, dtype=np.int64)
         return pa.table({
-            "content_hash": pa.array(h2[starts].astype("U32")),
+            "content_hash": _key_out(h2[starts]),
             "keep_doc_id": pa.array(k2[starts]),
             "dup_count": pa.array(np.add.reduceat(c2, starts)
                                   if len(starts) else c2[:0]),
@@ -221,11 +255,32 @@ class _CandidateShingles:
         })
 
 
-def _runs_pairs(sort_keys: tuple, ids: np.ndarray, payloads=()):
+RUN_CAP = 8192   # max bucket-run size for all-pairs expansion; larger
+#                  runs emit star pairs (run head -> member) instead.
+#                  A real corpus has degenerate buckets — millions of
+#                  boilerplate/empty documents share a band hash — and
+#                  O(run^2) expansion there is the one scale-killer in
+#                  the dedup family (the reference special-cases the same
+#                  skew class via its superedge cache,
+#                  TriangleCount.java:87-114). Well above any gate-scale
+#                  run, so oracle results are bit-identical below the cap.
+
+
+def _runs_pairs(sort_keys: tuple, ids: np.ndarray, payloads=(),
+                run_cap: int | None = RUN_CAP):
     """All intra-run (a, b) pairs over rows grouped by ``sort_keys`` —
     fully vectorized (no per-bucket Python): lexsort, run detection,
     then the classic repeat/arange pair expansion. Returns (a, b,
-    [(pay_a, pay_b), ...]) with a < b canonical."""
+    [(pay_a, pay_b), ...]) with a < b canonical.
+
+    Runs longer than ``run_cap`` emit STAR pairs — (run head, member)
+    for every member, where the head is the run's min id — bounding the
+    output at O(run) instead of O(run^2). The candidate graph stays
+    connected within the bucket (downstream exact verification still
+    gates every pair, so precision is unchanged); recall inside a
+    degenerate bucket relies on members matching the head, which holds
+    for the near-identical-content buckets that produce such runs.
+    ``run_cap=None`` disables the cap (exact all-pairs expansion)."""
     e = np.zeros(0, dtype=np.int64)
     if len(ids) == 0:
         return e, e, [(p[:0], p[:0]) for p in payloads]
@@ -240,6 +295,15 @@ def _runs_pairs(sort_keys: tuple, ids: np.ndarray, payloads=()):
     run_start = np.flatnonzero(change)
     run_id = np.cumsum(change) - 1
     local = np.arange(len(idv), dtype=np.int64) - run_start[run_id]
+    if run_cap is not None:
+        run_len = np.diff(np.r_[run_start, len(idv)])
+        # members of over-cap runs pair with the run head only: clamping
+        # a row's pair count to 1 makes the expansion below yield
+        # a_idx = run_start (the arange-minus-offset term is 0), i.e.
+        # exactly the star pair, with no separate code path
+        big = run_len[run_id] > run_cap
+        if big.any():
+            local = np.where(big, np.minimum(local, 1), local)
     total = int(local.sum())
     if total == 0:
         return e, e, [(p[:0], p[:0]) for p in pay]

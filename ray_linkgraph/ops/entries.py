@@ -45,6 +45,12 @@ def q_exact_dedup(sf_dir):
     return dedup.exact_dedup(_docs(sf_dir))
 
 
+def q_exact_dedup_fp(sf_dir):
+    """Fingerprint-key mode: vectorized M31 fold instead of per-row
+    md5 — the scale-default content key, gated by its own oracle."""
+    return dedup.exact_dedup(_docs(sf_dir), key="fingerprint")
+
+
 def q_token_stats(sf_dir):
     return _docs(sf_dir).map_batches(text.token_stats, batch_format="pyarrow")
 
@@ -458,6 +464,7 @@ FROM documents ORDER BY doc_id"""
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_fp": q_exact_dedup_fp,
         "token_stats": q_token_stats,
         "text_quality": q_quality,
         "langid": q_langid,
@@ -488,6 +495,10 @@ def oracle_sql():
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+        "exact_dedup_fp": f"""
+SELECT {texthash.sql_cp_fold('text')} AS content_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY content_hash ORDER BY content_hash""",
         "token_stats": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,

@@ -54,6 +54,61 @@ def test_simhash_neardup():
     assert by_id[2] == 2
 
 
+def test_exact_dedup_fingerprint_mode():
+    texts = [BASE, "something else entirely", BASE, "third text", BASE]
+    out = dedup.exact_dedup(docs_ds(texts), key="fingerprint").to_pandas()
+    assert len(out) == 3
+    row = out[out["dup_count"] == 3].iloc[0]
+    assert row["keep_doc_id"] == 0
+    assert out["content_hash"].dtype.kind == "i"    # int64 M31 key
+    with pytest.raises(ValueError):
+        dedup.exact_dedup(docs_ds(texts), key="sha1")
+
+
+def test_runs_pairs_star_cap():
+    """Runs above run_cap emit star pairs (head -> member) with aligned
+    payloads; runs at/below the cap keep exact all-pairs expansion."""
+    from ray_linkgraph.ops.dedup import _runs_pairs
+    ids = np.arange(100, dtype=np.int64)
+    one_run = (np.zeros(100, dtype=np.int64),)
+    a, b, _ = _runs_pairs(one_run, ids, run_cap=10)
+    assert (a == 0).all() and sorted(b) == list(range(1, 100))
+    a2, b2, _ = _runs_pairs(one_run, ids, run_cap=None)
+    assert len(a2) == 100 * 99 // 2
+    a3, _, _ = _runs_pairs(one_run, ids, run_cap=100)   # == run size
+    assert len(a3) == len(a2)
+    # mixed: run of 3 (all-pairs) + run of 20 (star under cap 5),
+    # payloads stay aligned through the clamped expansion
+    ids = np.arange(23, dtype=np.int64)
+    keys = (np.r_[np.zeros(3, np.int64), np.ones(20, np.int64)],)
+    a, b, [(pa_, pb_)] = _runs_pairs(keys, ids, payloads=(ids * 10,),
+                                     run_cap=5)
+    assert sorted(zip(a.tolist(), b.tolist())) == sorted(
+        [(0, 1), (0, 2), (1, 2)] + [(3, i) for i in range(4, 23)])
+    assert (pa_ == a * 10).all() and (pb_ == b * 10).all()
+
+
+def test_minhash_degenerate_corpus():
+    """50k IDENTICAL docs (the boilerplate-corpus skew class): without
+    the hot-bucket cap every band bucket would expand ~1.25e9 pairs x 64
+    bands; with star pairs the pipeline finishes in seconds and still
+    labels everything one cluster headed by doc 0."""
+    n = 50_000
+    out = dedup.minhash_lsh_dedup(docs_ds([BASE] * n),
+                                  threshold=0.8).to_pandas()
+    assert len(out) == n
+    assert (out["cluster"] == 0).all()
+    assert int(out["is_duplicate"].sum()) == n - 1
+
+
+def test_simhash_degenerate_corpus():
+    n = 20_000
+    out = dedup.simhash_neardup(docs_ds([BASE] * n),
+                                max_hamming=3).to_pandas()
+    assert len(out) == n
+    assert (out["cluster"] == 0).all()
+
+
 def test_ngram_jaccard_adjacent():
     """Adjacent-pair exact Jaccard matches per-doc shingle-set math,
     boundary docs drop out, chunking-independent."""
