@@ -80,7 +80,15 @@ def louvain_communities(graph: Graph, max_rounds: int = 10,
                         num_partitions: int = 32):
     """-> Dataset(node, community): one level of synchronous local
     moving; every vertex of the graph appears (isolated -> singleton).
-    ``large_graph`` forces the join route (None = auto by V)."""
+    ``large_graph`` forces the join route (None = auto by V).
+
+    Determinism note (ADVICE.md): the k/tot/kvc sums flow through
+    ``agg_by_int_keys``, whose float reduction order varies with
+    partitioning — exact for INTEGER edge weights (the gate graphs;
+    int64-valued floats stay exact under float64 addition well past any
+    realistic weight sum), while general float weights can flip
+    near-tie gain comparisons between runs. For float-weighted graphs
+    apply an epsilon tie-break upstream or scale weights to integers."""
     edges = _edges_both_ds(graph).materialize()
     if large_graph is None:
         large_graph = graph.V >= LARGE_GRAPH_V

@@ -357,6 +357,15 @@ class SubGraphProgram(VertexProgram):
                    - np.repeat(offs, counts))
             return ia, ob[pos]
 
+        def _injective(mat: np.ndarray, qvs: list) -> np.ndarray:
+            """Row mask: all distinct query vertices map to distinct
+            data vertices (sorted-row adjacent diff)."""
+            dv = mat[:, [i for i, q in enumerate(qvs) if q != -1]]
+            if dv.shape[1] < 2:
+                return np.ones(len(mat), dtype=bool)
+            srt = np.sort(dv, axis=1)
+            return (np.diff(srt, axis=1) != 0).all(axis=1)
+
         cur, cur_qvs = mats[0], list(mat_qvs[0])
         for gi in range(1, len(paths)):
             nxt, nqvs = mats[gi], mat_qvs[gi]
@@ -371,6 +380,18 @@ class SubGraphProgram(VertexProgram):
                 if new_q else np.zeros((len(ia), 0), dtype=np.int64)
             cur = np.column_stack([cur[ia], add])
             cur_qvs = cur_qvs + new_q
+            # prune non-injective rows PER JOIN STEP (ADVICE.md): the
+            # old recursion's used-set killed these at every depth, and
+            # without the step filter the intermediate join product can
+            # blow up combinatorially on hub owners before the final
+            # check would drop the rows. Same semantics as filtering
+            # only at the end — injectivity violations never heal.
+            if new_q:
+                good = _injective(cur, cur_qvs)
+                if not good.all():
+                    cur = cur[good]
+                if not len(cur):
+                    return
         # root predicate on the owner column (local ids)
         keep = root_ok[cur[:, 0]]
         cur = cur[keep]

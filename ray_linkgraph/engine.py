@@ -891,6 +891,16 @@ def _actor_cache_enabled() -> bool:
     return os.environ.get("RLG_ACTOR_CACHE", "") == "1"
 
 
+def _graph_generation(graph) -> int:
+    """Build-generation marker for the actor-cache key: the nonce
+    build_graph/build_synthetic_graph stamp into meta at build time
+    (mode builds re-save meta but keep it — they only add files, so
+    pool reuse across modes stays valid). Graphs built before the nonce
+    existed fall back to the handle's identity, which disables
+    cross-handle reuse rather than risking stale CSR caches."""
+    return graph.meta.get("build_nonce") or id(graph)
+
+
 def release_cached_actors():
     """Kill the retained partition-actor pool (frees its CPUs)."""
     pool = _ACTOR_POOL.pop("pool", None)
@@ -924,20 +934,35 @@ class BSPEngine:
             if 2 <= R < P and P % R == 0:
                 self.grid = (R, P // R)
         self._use_cache = _actor_cache_enabled()
+        # the key carries a GENERATION marker (meta.json mtime): a graph
+        # rebuilt in-place at the same dir with unchanged P/V must NOT
+        # reuse actors whose PartCtx CSR/degree caches hold the old
+        # adjacency (ADVICE.md r4). build_graph/save_meta rewrite
+        # meta.json atomically, so the mtime moves on every rebuild.
         key = (graph.dir, P, graph.meta.get("V"),
-               graph.meta.get("synthetic") is not None)
+               graph.meta.get("synthetic") is not None,
+               _graph_generation(graph))
         pool = _ACTOR_POOL.get("pool")
         self.actors = None
-        if self._use_cache and pool and pool["key"] == key:
+        self._cached = False
+        # a pool whose engine is mid-run must not be re-armed
+        # (set_program would reset program/state under the running
+        # engine) nor evicted (killing live actors): leave it alone and
+        # build a fresh uncached pool for this engine instead.
+        if (self._use_cache and pool and pool["key"] == key
+                and not pool.get("busy")):
             try:
                 ray.get([a.set_program.remote(program, self.grid)
                          for a in pool["actors"]])
                 self.actors = pool["actors"]
+                pool["busy"] = True
+                self._cached = True
             except ray.exceptions.RayActorError:
                 release_cached_actors()   # pool died: rebuild below
         if self.actors is None:
-            if _ACTOR_POOL.get("pool") is not None:   # other graph: evict
-                release_cached_actors()
+            stale = _ACTOR_POOL.get("pool")
+            if stale is not None and not stale.get("busy"):
+                release_cached_actors()   # other graph/generation: evict
             total_cpus = ray.cluster_resources().get("CPU", P) or P
             cpu_per_actor = min(1.0, max(0.05, (total_cpus - 1) / max(P, 1)))
             Worker = ray.remote(PartitionWorker)
@@ -946,8 +971,10 @@ class BSPEngine:
                     graph.dir, graph.meta, p, program, self.grid)
                 for p in range(P)
             ]
-            if self._use_cache:
-                _ACTOR_POOL["pool"] = {"key": key, "actors": self.actors}
+            if self._use_cache and _ACTOR_POOL.get("pool") is None:
+                _ACTOR_POOL["pool"] = {"key": key, "actors": self.actors,
+                                       "busy": True}
+                self._cached = True
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -1213,9 +1240,11 @@ class BSPEngine:
 
     def close(self):
         pool = _ACTOR_POOL.get("pool")
-        keep = (self._use_cache and pool
+        keep = (self._cached and pool
                 and pool["actors"] is self.actors)
-        if not keep:
+        if keep:
+            pool["busy"] = False   # pool idle again: next engine may arm it
+        else:
             for a in self.actors:
                 ray.kill(a)
         self.actors = []

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
+import time
 
 import numpy as np
 import polars as pl
@@ -46,7 +46,7 @@ import ray.data
 
 from ._util import ceil_div, _strip_schema_meta
 
-SAMPLE_MOD = 64          # deterministic sample: crc32(url) % SAMPLE_MOD == 0
+SAMPLE_MOD = 64          # deterministic sample: splitmix64(fp(url)) % MOD == 0
 SAMPLE_LIMIT = 200_000   # driver-side cap on boundary sample size
 BROADCAST_DICT_MAX = 5_000_000   # urls; above this the dictionary join is
 #                                  range-bucketed instead of broadcast
@@ -385,9 +385,22 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
 
     # ---- 2. range-bucket boundaries from a deterministic sample ----------
     def sample_fn(batch: pa.Table) -> pa.Table:
-        us = batch.column("url").to_pylist()
-        keep = [u for u in us if zlib.crc32(u.encode()) % SAMPLE_MOD == 0]
-        return pa.table({"url": pa.array(keep, type=pa.string())})
+        # vectorized keep decision (r4 VERDICT: the per-url Python crc32
+        # loop was the last row loop in the build path — days of
+        # interpreter time at 1e11 urls). The M31 fingerprint fold is
+        # whole-batch vectorized and per-url deterministic (independent
+        # of chunking/parallelism); splitmix on top uniformizes the low
+        # bits before the modulus. Boundaries only steer bucket load
+        # balance — global Id order is invariant to them — so swapping
+        # the sample hash cannot change any query result.
+        from ._util import hash_u64
+        from .ops import texthash
+        u = batch.column("url")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        fp = texthash.fingerprints(u).astype(np.uint64)
+        keep = (hash_u64(fp) % np.uint64(SAMPLE_MOD)) == 0
+        return pa.table({"url": u.filter(pa.array(keep))})
 
     sample = [r["url"] for r in
               urls_ds.map_batches(sample_fn, batch_format="pyarrow")
@@ -516,6 +529,11 @@ def build_graph(edges_ds, graph_dir: str, n_parts: int,
         "properties_merge": properties_merge,
         "edge_counts": {"out": n_edges},
         "build_stage_secs": _stages,
+        # generation marker: a rebuild at the same dir gets a fresh
+        # nonce so the engine's actor-pool cache can't serve stale
+        # adjacency (ADVICE.md r4). Mode builds (ensure_mode) re-save
+        # meta but keep the nonce — they only ADD files.
+        "build_nonce": time.time_ns(),
     }
     g = Graph(graph_dir, meta)
     g.save_meta()

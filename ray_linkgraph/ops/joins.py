@@ -11,23 +11,35 @@ Partitioning assumptions (documented per the north-star scale notes):
 
 * ``asof_join`` hash-partitions BOTH sides by the ``by`` key, so all
   rows of one key meet in one group task. Skew bound = rows per key
-  bucket; at 100 TB raise ``n_buckets`` so the largest bucket fits a
-  worker (the per-group work is a vectorized ``pandas.merge_asof``).
+  bucket; ``n_buckets`` defaults to 4x the cluster CPU count (the
+  events.py auto-scale convention) so group size shrinks as the
+  cluster grows; the per-group work is one vectorized merge-order
+  forward-fill (pure numpy — results are width-invariant).
 * ``band_join_count`` range-partitions by time bucket of width
   ``band_us`` and replicates each right row to its 3 adjacent buckets
   (classic band-join replication), so a left row's whole ±band window
   is co-located with it. Replication factor is exactly 3 regardless of
-  band width; group size = events per band window — pick ``band_us``
-  (or pre-aggregate the right side) so one window fits a worker.
+  band width; ``n_coarse`` auto-scales the same way; group size =
+  events per band window — pick ``band_us`` (or pre-aggregate the
+  right side) so one window fits a worker.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .._util import hash_u64
+
+
+def _auto_width(n) -> int:
+    """4x cluster CPUs (the events.py:35 convention) when unset —
+    the kernels are width-invariant, so the default only steers
+    group size, never results."""
+    if n is not None:
+        return int(n)
+    import ray
+    return 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
 
 
 def _ts_us(col) -> np.ndarray:
@@ -46,7 +58,7 @@ def _ts_us(col) -> np.ndarray:
 
 def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
               right_val: str = "event_id", out_col: str = "prior_event_id",
-              n_buckets: int = 32, unmatched: int = -1):
+              n_buckets: int | None = None, unmatched: int = -1):
     """For every left row, the ``right_val`` of the LATEST right row of
     the same ``by`` key with ``right.on <= left.on`` (backward as-of).
 
@@ -67,7 +79,7 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
     ``unmatched`` as the sentinel where no right row qualifies (keeps
     the output schema non-nullable so value hashing is stable).
     """
-    nb = np.uint64(n_buckets)
+    nb = np.uint64(_auto_width(n_buckets))
     lschema = left_ds.schema()
     left_cols = list(lschema.names)
     left_types = dict(zip(lschema.names, lschema.types))
@@ -86,11 +98,9 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
 
     def tag_right(t: pa.Table) -> pa.Table:
         # same schema (and column order) as tag_left so union blocks
-        # unify. Left-only INTEGER columns get a zero FILLER (never
-        # read: group() drops right rows) rather than nulls — nulls
-        # would upcast the combined pandas frame to float64, silently
-        # corrupting int64 values above 2^53; other types keep nulls
-        # (NaN/NaT/None round-trip without loss for dropped rows).
+        # unify. Left-only columns get type-preserving fillers (never
+        # read: group() emits only left rows, gathered zero-copy with
+        # Arrow take — no pandas round-trip anywhere).
         def filler(c):
             typ = left_types[c]
             if pa.types.is_integer(typ):
@@ -108,45 +118,60 @@ def asof_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
     rt = (right_ds.select_columns([by, on, right_val])
           .map_batches(tag_right, batch_format="pyarrow"))
 
-    def group(df: pd.DataFrame) -> pd.DataFrame:
-        l = (df[df["_side"] == 1]
-             .drop(columns=["_rv", "_b", "_side"])
-             .sort_values([on, by], kind="stable"))
-        r = df[df["_side"] == 0]
-        if len(r) == 0:
-            out = l[left_cols].copy()
-            out[out_col] = np.full(len(l), unmatched, dtype=np.int64)
-            return out
-        # deterministic tie-break: keep max _rv per (by, on)
-        r = (r.sort_values([by, on, "_rv"], kind="stable")
-             .drop_duplicates([by, on], keep="last")
-             .sort_values([on, by], kind="stable")
-             .reset_index(drop=True))
-        # merge on the right ROW POSITION, not _rv: merge_asof emits
-        # NaN for unmatched rows, and a float64 round-trip would corrupt
-        # int64 values above 2^53. Positions are small, so their float
-        # round-trip is exact; _rv is then gathered losslessly.
-        r = r.assign(_ridx=np.arange(len(r), dtype=np.int64))
-        m = pd.merge_asof(l, r[[by, on, "_ridx"]], on=on, by=by,
-                          direction="backward", allow_exact_matches=True)
-        out = m[left_cols].copy()
-        ridx = m["_ridx"].to_numpy()
-        miss = np.isnan(ridx)
-        safe = np.where(miss, 0, ridx).astype(np.int64)
-        rv = r["_rv"].to_numpy()[safe]
-        out[out_col] = np.where(miss, unmatched, rv).astype(np.int64)
-        return out
+    def group(t: pa.Table) -> pa.Table:
+        """Backward as-of inside one key bucket, pure numpy: sort the
+        union of (deduped) right and left rows by (by, on, side) with
+        right first on ties, then a running-maximum forward fill gives
+        every left row its latest preceding right row; a by-equality
+        check invalidates fills that leaked across key boundaries.
+        Int64-exact throughout (no float positions, ADVICE.md r3)."""
+        side = t.column("_side").to_numpy()
+        Li = np.flatnonzero(side == 1)
+        out = {c: t.column(c).take(pa.array(Li)) for c in left_cols}
+        n = len(Li)
+        Ri = np.flatnonzero(side == 0)
+        by_v = t.column(by).to_numpy()
+        on_v = _ts_us(t.column(on))
+        rv_out = np.full(n, unmatched, dtype=np.int64)
+        if n and len(Ri):
+            # deterministic tie-break: keep max _rv per right (by, on)
+            r_by, r_on = by_v[Ri], on_v[Ri]
+            r_rv = t.column("_rv").to_numpy()[Ri]
+            o = np.lexsort((r_rv, r_on, r_by))
+            rb, ro, rv = r_by[o], r_on[o], r_rv[o]
+            last = np.r_[(rb[1:] != rb[:-1]) | (ro[1:] != ro[:-1]), True]
+            rb, ro, rv = rb[last], ro[last], rv[last]
+            m = len(rb)
+            # merged order: right precedes left at equal (by, on)
+            # (allow_exact_matches semantics)
+            ab = np.r_[rb, by_v[Li]]
+            ao = np.r_[ro, on_v[Li]]
+            aside = np.r_[np.zeros(m, np.int8), np.ones(n, np.int8)]
+            so = np.lexsort((aside, ao, ab))
+            ab_s, aside_s = ab[so], aside[so]
+            rmark = np.where(aside_s == 0,
+                             np.arange(m + n, dtype=np.int64), -1)
+            lastr = np.maximum.accumulate(rmark)
+            lpos = np.flatnonzero(aside_s == 1)
+            cand = lastr[lpos]
+            safe = np.where(cand >= 0, cand, 0)
+            valid = (cand >= 0) & (ab_s[safe] == ab_s[lpos])
+            rv_all = np.r_[rv, np.zeros(n, dtype=np.int64)][so]
+            li = so[lpos] - m          # position within the Li gather
+            rv_out[li] = np.where(valid, rv_all[safe], unmatched)
+        out[out_col] = pa.array(rv_out)
+        return pa.table(out)
 
     return (lt.union(rt)
             .groupby("_b")
-            .map_groups(group, batch_format="pandas"))
+            .map_groups(group, batch_format="pyarrow"))
 
 
 def band_join_count(left_ds, right_ds, on: str = "ts",
                     band_us: int = 300_000_000,
                     left_key: str = "event_id",
                     out_col: str = "n_in_band",
-                    n_coarse: int = 64):
+                    n_coarse: int | None = None):
     """For every left row, COUNT of right rows with
     ``|right.on - left.on| <= band_us`` (inclusive band/range join,
     aggregated — the join output itself would be quadratic in dense
@@ -164,11 +189,11 @@ def band_join_count(left_ds, right_ds, on: str = "ts",
     band bounds never leave their own bucket's key range.
     """
     bw = np.int64(band_us)
-    from .._util import hash_u64
+    nc = np.uint64(_auto_width(n_coarse))
 
     def _gk(b: np.ndarray) -> pa.Array:
         return pa.array((hash_u64(b.astype(np.uint64))
-                         % np.uint64(n_coarse)).astype(np.int64))
+                         % nc).astype(np.int64))
 
     def rep_right(t: pa.Table) -> pa.Table:
         ts = _ts_us(t.column(on))

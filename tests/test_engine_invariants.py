@@ -210,3 +210,63 @@ def test_simhash_property_matches_fold(texts):
             if v > 0:
                 exp |= 1 << j
         assert int(g) == exp
+
+
+def test_actor_pool_cache_invalidated_on_rebuild(work_dir, monkeypatch):
+    """A graph REBUILT in-place at the same dir with unchanged P and V
+    must not reuse cached actors holding the old adjacency (ADVICE.md
+    r4: the pool key now carries meta.json's mtime as a generation
+    marker); and a pool marked busy (engine mid-run) is neither
+    re-armed nor evicted — a fresh uncached pool serves the new engine."""
+    import os
+    import shutil
+    import ray
+    from ray_linkgraph import engine
+    from ray_linkgraph.algorithms import pagerank
+
+    def mk(edges, tag):
+        t = pa.table({"src": [str(a) for a, b in edges],
+                      "dst": [str(b) for a, b in edges]})
+        d = os.path.join(work_dir, "regen_g")
+        return build_graph(rd.from_arrow(t), d, n_parts=2)
+
+    ring = [(i, (i + 1) % 20) for i in range(20)]
+    # same V, same P, different (non-regular) topology -> different ranks
+    jump = [(i, (i * 7 + 3) % 20) for i in range(20)] + \
+           [(0, j) for j in range(1, 6)]
+    monkeypatch.setenv("RLG_ACTOR_CACHE", "1")
+    try:
+        g1 = mk(ring, "a")
+        r1 = pagerank(g1, l1_threshold=0.0, max_supersteps=6).to_arrow() \
+            .to_pandas().sort_values("v_id")["rank"].to_numpy()
+        pool1 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        # rebuild IN PLACE: same dir, same P, same V, different edges
+        shutil.rmtree(os.path.join(work_dir, "regen_g"))
+        g2 = mk(jump, "b")
+        r2 = pagerank(g2, l1_threshold=0.0, max_supersteps=6).to_arrow() \
+            .to_pandas().sort_values("v_id")["rank"].to_numpy()
+        pool2 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        assert pool1 != pool2            # generation changed -> new pool
+        assert not np.allclose(r1, r2)   # genuinely computed on new edges
+        # expected ranks from a fresh cache-off run
+        monkeypatch.delenv("RLG_ACTOR_CACHE")
+        exp = pagerank(g2, l1_threshold=0.0, max_supersteps=6).to_arrow() \
+            .to_pandas().sort_values("v_id")["rank"].to_numpy()
+        assert np.allclose(r2, exp, atol=1e-12, rtol=0)
+        monkeypatch.setenv("RLG_ACTOR_CACHE", "1")
+        # re-arm the cache (the cache-off run above evicted the idle
+        # pool), then mark it busy: neither re-armed nor evicted; the
+        # new engine runs on a fresh uncached pool, still correct
+        r2b = pagerank(g2, l1_threshold=0.0, max_supersteps=6).to_arrow() \
+            .to_pandas().sort_values("v_id")["rank"].to_numpy()
+        assert np.allclose(r2b, exp, atol=1e-12, rtol=0)
+        pool2 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        engine._ACTOR_POOL["pool"]["busy"] = True
+        r3 = pagerank(g2, l1_threshold=0.0, max_supersteps=6).to_arrow() \
+            .to_pandas().sort_values("v_id")["rank"].to_numpy()
+        assert np.allclose(r3, exp, atol=1e-12, rtol=0)
+        pool3 = [a._actor_id for a in engine._ACTOR_POOL["pool"]["actors"]]
+        assert pool3 == pool2 and engine._ACTOR_POOL["pool"]["busy"]
+        engine._ACTOR_POOL["pool"]["busy"] = False
+    finally:
+        engine.release_cached_actors()

@@ -157,3 +157,33 @@ def test_link_extraction_matches_generator():
     assert offsite  # edge-only dst vertices exist
     # raw extraction keeps duplicates (dedup happens at graph build)
     assert len(edges) > len(got) - len(offsite)
+
+
+def test_boundary_sample_deterministic_across_chunking():
+    """The graph-build boundary sample's keep decision is a pure
+    per-url function (vectorized fingerprint hash), so the sampled set
+    is identical however the url stream is batched (r5: replaced the
+    per-url Python crc32 loop)."""
+    import pyarrow as pa
+    from ray_linkgraph._util import hash_u64
+    from ray_linkgraph.graph import SAMPLE_MOD
+    from ray_linkgraph.ops import texthash
+
+    urls = [f"https://site{i % 97}.example.com/p/{i}/page_{i:06d}.html"
+            for i in range(20_000)]
+
+    def sampled(chunks):
+        out = []
+        for c in chunks:
+            u = pa.array(c, type=pa.string())
+            fp = texthash.fingerprints(u).astype(np.uint64)
+            keep = (hash_u64(fp) % np.uint64(SAMPLE_MOD)) == 0
+            out.extend(np.asarray(c, dtype=object)[keep].tolist())
+        return sorted(out)
+
+    whole = sampled([urls])
+    split3 = sampled([urls[:7000], urls[7000:7001], urls[7001:]])
+    split_tiny = sampled([urls[i:i + 613] for i in range(0, len(urls), 613)])
+    assert whole == split3 == split_tiny
+    # rate sanity: ~1/64 with generous slack
+    assert 0.5 * len(urls) / SAMPLE_MOD < len(whole) < 2 * len(urls) / SAMPLE_MOD
