@@ -597,6 +597,22 @@ class EdgeScatter:
         self.values = values
 
 
+@ray.remote
+def _relay_pod(k: int, *blocks):
+    """Second hop of the two-level 1D exchange: regroup the P source
+    pod-blocks (each a tuple of k per-destination combined payloads, or
+    None when the source sent nothing to this pod) into k per-
+    destination inbox bundles. Payloads pass through untouched — the
+    receiver's Inbox does the cross-source combine exactly as in the
+    direct exchange, so results are bit-identical at any pod size."""
+    outs = []
+    for i in range(k):
+        parts = [b[i] for b in blocks
+                 if b is not None and b[i] is not None]
+        outs.append(("RELAY", parts))
+    return tuple(outs) if k > 1 else outs[0]
+
+
 # ---------------------------------------------------------------------------
 # partition actor
 # ---------------------------------------------------------------------------
@@ -695,8 +711,25 @@ class PartitionWorker:
         return outs, int(len(d))
 
     # -- superstep ----------------------------------------------------------
+    @staticmethod
+    def _unwrap_inbox(inbox_parts) -> list:
+        """Relay-mode inboxes arrive as ONE ``("RELAY", [parts...])``
+        bundle per actor (direct mode: P raw parts)."""
+        parts = list(inbox_parts)
+        if (len(parts) == 1 and type(parts[0]) is tuple
+                and len(parts[0]) == 2 and parts[0][0] == "RELAY"):
+            return list(parts[0][1])
+        return parts
+
+    @staticmethod
+    def _pack_pods(outs, relay_pods):
+        """Group the P per-destination payloads into one block per pod
+        (None when the whole pod got nothing — the relay skips it)."""
+        return [None if all(outs[q] is None for q in pod)
+                else tuple(outs[q] for q in pod) for pod in relay_pods]
+
     def superstep(self, s: int, g: dict, ckpt_dir, steps_remaining,
-                  *inbox_parts):
+                  *inbox_parts, relay_pods=None):
         t0 = time.monotonic()
         # fixed-horizon hint: how many supersteps can still run after
         # this one. Programs MAY skip generating messages that provably
@@ -709,7 +742,7 @@ class PartitionWorker:
             dst, payload, aggs = self.program.compute0(self.ctx, self.state, g)
         else:
             inbox = Inbox(self.program.combiner, self.ctx.size,
-                          list(inbox_parts))
+                          self._unwrap_inbox(inbox_parts))
             n_in = inbox.n_msgs
             dst, payload, aggs = self.program.compute(
                 self.ctx, self.state, inbox, g, s)
@@ -719,6 +752,8 @@ class PartitionWorker:
             ck = self._write_checkpoint(ckpt_dir, s)
         t2 = time.monotonic()
         outs, n_out = self._route(dst, payload)
+        if relay_pods is not None:
+            outs = self._pack_pods(outs, relay_pods)
         t3 = time.monotonic()
         meta = {"aggs": aggs, "part": self.ctx.part_id, "msgs_in": n_in,
                 "msgs_out": n_out, "wall_s": t3 - t0,
@@ -726,10 +761,13 @@ class PartitionWorker:
                 "checkpoint": ck}
         return (*outs, meta)
 
-    def rescatter(self, s: int, g: dict, steps_remaining: int = 10**9):
+    def rescatter(self, s: int, g: dict, steps_remaining: int = 10**9,
+                  relay_pods=None):
         self.ctx.steps_remaining = steps_remaining
         dst, payload = self.program.rescatter(self.ctx, self.state, g, s)
         outs, n_out = self._route(dst, payload)
+        if relay_pods is not None:
+            outs = self._pack_pods(outs, relay_pods)
         return (*outs, {"part": self.ctx.part_id, "msgs_out": n_out})
 
     # -- 2D grid exchange (dense EdgeScatter programs) ----------------------
@@ -933,6 +971,22 @@ class BSPEngine:
             R = int(os.environ.get("RLG_GRID_R", R) or R)
             if 2 <= R < P and P % R == 0:
                 self.grid = (R, P // R)
+        # two-level relay exchange for the 1D (sparse/frontier) path:
+        # the direct exchange creates O(P^2) driver-owned object refs
+        # per superstep (measured on this host: 1.8 s/step of pure
+        # driver plumbing at P=128, tools/p2_refbench.py). Above
+        # RLG_RELAY_MIN_P, partitions are grouped into ~sqrt(P) pods:
+        # actors return one block per POD, a relay task per pod regroups
+        # to per-destination bundles — O(P^1.5) refs, bit-identical
+        # results (the receive-side Inbox still does the combine).
+        self.relay = None
+        if self.grid is None and P > 1:
+            min_p = int(os.environ.get("RLG_RELAY_MIN_P", "64") or 64)
+            if P >= min_p:
+                K = int(os.environ.get("RLG_RELAY_K", "0") or 0) \
+                    or max(2, int(round(P ** 0.5)))
+                self.relay = [list(range(j, min(j + K, P)))
+                              for j in range(0, P, K)]
         self._use_cache = _actor_cache_enabled()
         # the key carries a GENERATION marker (meta.json mtime): a graph
         # rebuilt in-place at the same dir with unchanged P/V must NOT
@@ -1079,11 +1133,30 @@ class BSPEngine:
                 f"replayed (rerun with max_supersteps={rec} or start "
                 f"fresh)")
 
+    def _exchange_inboxes(self, msg_refs):
+        """Route per-destination message refs: direct (P^2 refs) below
+        the relay threshold, pod relay (P^1.5) above."""
+        P = self.graph.P
+        if self.relay is None:
+            return [[msg_refs[p][q] for p in range(P)] for q in range(P)]
+        inboxes = [None] * P
+        for j, pod in enumerate(self.relay):
+            k = len(pod)
+            r = _relay_pod.options(num_returns=k).remote(
+                k, *[msg_refs[p][j] for p in range(P)])
+            if k == 1:
+                r = [r]
+            for i, q in enumerate(pod):
+                inboxes[q] = [r[i]]
+        return inboxes
+
     def run(self, max_supersteps: int = 10, resume: bool = False) -> BSPResult:
         self._run_max_supersteps = max_supersteps
         if self.grid is not None:
             return self._run_grid(max_supersteps, resume)
         P = self.graph.P
+        n_out_refs = len(self.relay) if self.relay is not None else P
+        relay_kw = {} if self.relay is None else {"relay_pods": self.relay}
         history = []
         s0, inboxes, g = 0, None, self.program.master_init(self.graph)
         aggs = {}
@@ -1098,12 +1171,14 @@ class BSPEngine:
                 aggs = man["aggs"]
                 if man["done"]:
                     return self._finish(s_ck + 1, aggs, history)
-                outs = [self.actors[p].rescatter.options(num_returns=P + 1)
-                        .remote(s_ck, g, max_supersteps - 1 - s_ck)
+                outs = [self.actors[p].rescatter
+                        .options(num_returns=n_out_refs + 1)
+                        .remote(s_ck, g, max_supersteps - 1 - s_ck,
+                                **relay_kw)
                         for p in range(P)]
-                msg_refs = [o[:P] for o in outs]
-                ray.get([o[P] for o in outs])  # barrier on rescatter
-                inboxes = [[msg_refs[p][q] for p in range(P)] for q in range(P)]
+                msg_refs = [o[:n_out_refs] for o in outs]
+                ray.get([o[n_out_refs] for o in outs])  # barrier on rescatter
+                inboxes = self._exchange_inboxes(msg_refs)
                 s0 = s_ck + 1
                 self._truncate_metrics(s_ck)
 
@@ -1117,9 +1192,10 @@ class BSPEngine:
                 args = (s, g, do_ckpt, max_supersteps - 1 - s) + \
                     (tuple(inboxes[p]) if s > 0 else ())
                 outs.append(self.actors[p].superstep
-                            .options(num_returns=P + 1).remote(*args))
-            msg_refs = [o[:P] for o in outs]
-            metas = ray.get([o[P] for o in outs])
+                            .options(num_returns=n_out_refs + 1)
+                            .remote(*args, **relay_kw))
+            msg_refs = [o[:n_out_refs] for o in outs]
+            metas = ray.get([o[n_out_refs] for o in outs])
             wall = time.monotonic() - t0
             aggs = _reduce_aggs([m["aggs"] for m in metas])
             msg_total = sum(m["msgs_out"] for m in metas)
@@ -1140,7 +1216,7 @@ class BSPEngine:
             s += 1
             if done:
                 break
-            inboxes = [[msg_refs[p][q] for p in range(P)] for q in range(P)]
+            inboxes = self._exchange_inboxes(msg_refs)
         return self._finish(s, aggs, history)
 
     def _run_grid(self, max_supersteps: int, resume: bool) -> BSPResult:

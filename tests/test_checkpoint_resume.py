@@ -147,3 +147,24 @@ def test_resume_refuses_horizon_mismatch(graph, work_dir):
     # same horizon still resumes fine
     rings_detection(graph, max_supersteps=5, checkpoint_dir=ck,
                     resume=True)
+
+
+def test_relay_exchange_matches_direct_and_resumes(graph, work_dir,
+                                                   monkeypatch):
+    """Two-level pod relay (the O(P^1.5)-refs 1D exchange, r5) is
+    bit-identical to the direct exchange on a frontier program, and a
+    crash-cut resume flows through the relayed rescatter path."""
+    comp_direct = wcc(graph).to_arrow().to_pandas() \
+        .sort_values("v_id")["component"].to_numpy()
+    monkeypatch.setenv("RLG_RELAY_MIN_P", "2")   # force relay at P=4
+    comp_relay = wcc(graph).to_arrow().to_pandas() \
+        .sort_values("v_id")["component"].to_numpy()
+    assert (comp_direct == comp_relay).all()
+
+    ck = os.path.join(work_dir, "ck_wcc_relay")
+    wcc(graph, checkpoint_dir=ck)
+    _truncate(ck, 1)
+    resumed = wcc(graph, checkpoint_dir=ck, resume=True)
+    comp_res = resumed.to_arrow().to_pandas() \
+        .sort_values("v_id")["component"].to_numpy()
+    assert (comp_direct == comp_res).all()
