@@ -213,16 +213,20 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class MinHashStage:
-    """docs -> (doc_id, band, band_hash) rows, LSH_BANDS per doc.
-    Whole-batch vectorized (texthash.minhash_band_hashes)."""
+    """docs -> (doc_id, bk) rows, LSH_BANDS per doc, where bk packs
+    (band, band_hash) into one int64 (band_hash < M31 < 2^31, so
+    bk = band·2^31 + band_hash is collision-free). Whole-batch
+    vectorized (texthash.minhash_band_hashes); the packed key makes the
+    candidate exchange ship 16 B/row instead of 24 and gives the run
+    detection a single sort column."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         bh = texthash.minhash_band_hashes(batch.column("text"))
+        bk = (np.arange(LSH_BANDS, dtype=np.int64)[None, :] << 31) | bh
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, LSH_BANDS)),
-            "band": pa.array(np.tile(np.arange(LSH_BANDS), len(ids))),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "bk": pa.array(bk.reshape(-1)),
         })
 
 
@@ -317,21 +321,62 @@ def _runs_pairs(sort_keys: tuple, ids: np.ndarray, payloads=(),
     return lo, hi, [(p[a_idx], p[b_idx]) for p in pay]
 
 
-N_PAIR_GROUPS = 32   # coarse shuffle groups for candidate pair generation
-#                      (per-(bucket) map_groups spawns one task per TINY
-#                      group — 75k groups cost ~11s for 256 pairs at sf0.1)
+N_PAIR_GROUPS = 32   # minimum coarse shuffle groups for candidate pair
+#                      generation (per-(bucket) map_groups spawns one
+#                      task per TINY group — 75k groups cost ~11s for
+#                      256 pairs at sf0.1); scales up with cluster CPUs
 
 
-def _coarse_group(cols):
+def _n_pair_groups() -> int:
+    return max(N_PAIR_GROUPS,
+               4 * int(ray.cluster_resources().get("CPU", 8)))
+
+
+@ray.remote
+def _split_block(tbl: pa.Table, key_col: str, G: int):
+    """One vectorized pass: split a block into G sub-tables by coarse
+    key hash (argsort + searchsorted slices)."""
     from .._util import hash_u64
+    k = tbl.column(key_col).to_numpy().astype(np.uint64)
+    g = (hash_u64(k) % np.uint64(G)).astype(np.int64)
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    bounds = np.searchsorted(gs, np.arange(1, G + 1, dtype=np.int64))
+    starts = np.r_[0, bounds[:-1]]
+    tt = tbl.take(pa.array(order))
+    return tuple(tt.slice(int(a), int(b - a))
+                 for a, b in zip(starts, bounds))
 
-    def add(t: pa.Table) -> pa.Table:
-        acc = hash_u64(*[t.column(c).to_numpy().astype(np.uint64)
-                         for c in cols])
-        return _strip_schema_meta(t.append_column("_g", pa.array(
-            (acc % np.uint64(N_PAIR_GROUPS)).astype(np.int64))))
 
-    return add
+@ray.remote
+def _gen_group(gen_fn, *subs):
+    return gen_fn(pa.concat_tables(subs).combine_chunks())
+
+
+def _hash_exchange_groups(ds, key_col: str, gen, G: int | None = None):
+    """Manual hash exchange replacing ``groupby(_g).map_groups`` for
+    the candidate-pair shuffles. Ray's groupby is a SORT-based shuffle
+    — a full O(n log n) sort with two barriers; measured 46 s for the
+    38M-row band table of a 600k-doc corpus at 4 cpus, 56% of the whole
+    clean_corpus wall. Here each materialized block is split by coarse
+    key hash in one vectorized pass (B×G small objects) and ``gen``
+    runs once per group over its sub-blocks — no sort, one exchange,
+    same co-location guarantee (equal keys meet in one group task)."""
+    if G is None:
+        G = _n_pair_groups()
+    ds = ds.materialize()
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(r for r, m in bundle.blocks if m.num_rows)
+    if not refs:
+        sch = ds.schema()
+        empty = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+        return ray.data.from_arrow(gen(empty))
+    parts = [_split_block.options(num_returns=G).remote(r, key_col, G)
+             for r in refs]
+    outs = [_gen_group.remote(gen, *[p[g] for p in parts])
+            for g in range(G)]
+    return ray.data.from_arrow_refs(outs)
 
 
 def _band_pairs(bands_ds):
@@ -341,14 +386,12 @@ def _band_pairs(bands_ds):
     callers that stay distributed wrap in ``_dedup_pairs``)."""
     def gen(t: pa.Table) -> pa.Table:
         lo, hi, _ = _runs_pairs(
-            (t.column("band").to_numpy(), t.column("band_hash").to_numpy()),
+            (t.column("bk").to_numpy(),),
             t.column("doc_id").to_numpy())
         return pa.table({"a": pa.array(lo, type=pa.int64()),
                          "b": pa.array(hi, type=pa.int64())})
 
-    return bands_ds.map_batches(_coarse_group(["band", "band_hash"]),
-                                batch_format="pyarrow") \
-        .groupby("_g").map_groups(gen, batch_format="pyarrow")
+    return _hash_exchange_groups(bands_ds, "bk", gen)
 
 
 def _unique_pairs_np(t: pa.Table) -> pa.Table:
@@ -571,21 +614,23 @@ def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=None,
                                concurrency=_task_cap(concurrency))
 
     def quarters(batch: pa.Table) -> pa.Table:
+        # qk packs (quarter index, 16-bit quarter value) into one int64
+        # bucket key — same trick as MinHashStage's bk
         ids = batch.column("doc_id").to_numpy()
         sh = batch.column("simhash").to_numpy().astype(np.uint64)
         q = np.arange(4, dtype=np.uint64)
         qv = ((sh[:, None] >> (np.uint64(16) * q[None, :]))
               & np.uint64(0xFFFF)).astype(np.int64)
+        qk = (np.arange(4, dtype=np.int64)[None, :] << 16) | qv
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, 4)),
             "simhash": pa.array(np.repeat(sh.astype(np.int64), 4)),
-            "q": pa.array(np.tile(q.astype(np.int64), len(ids))),
-            "qv": pa.array(qv.reshape(-1)),
+            "qk": pa.array(qk.reshape(-1)),
         })
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         lo, hi, [(sa, sb)] = _runs_pairs(
-            (t.column("q").to_numpy(), t.column("qv").to_numpy()),
+            (t.column("qk").to_numpy(),),
             t.column("doc_id").to_numpy(),
             payloads=(t.column("simhash").to_numpy().astype(np.uint64),))
         ham = texthash.popcount64(sa ^ sb)
@@ -593,10 +638,9 @@ def simhash_neardup(docs_ds, max_hamming: int = 3, concurrency=None,
         return pa.table({"a": pa.array(lo[keep], type=pa.int64()),
                          "b": pa.array(hi[keep], type=pa.int64())})
 
-    verified = _dedup_pairs(
-        sigs.map_batches(quarters, batch_format="pyarrow")
-        .map_batches(_coarse_group(["q", "qv"]), batch_format="pyarrow")
-        .groupby("_g").map_groups(bucket_pairs, batch_format="pyarrow"))
+    verified = _dedup_pairs(_hash_exchange_groups(
+        sigs.map_batches(quarters, batch_format="pyarrow"),
+        "qk", bucket_pairs))
     labels = connected_components(verified, num_partitions=num_partitions)
     return assign_clusters(docs_ds, labels)
 
