@@ -230,8 +230,13 @@ def bench_corpus() -> dict:
             n_synth, os.path.join(TMP, f"scaling_docs_{n_synth}.parquet"))
 
         def fn(_):
+            # override_num_blocks: a SINGLE large parquet file otherwise
+            # decodes in ONE read task (measured: 12 s serial decode of
+            # a 320 MB file at 4 cpus = 40% of the whole wall; Ray's
+            # SplitBlocks splits the output, not the decode work)
             kept, _audit = pipelines.clean_corpus(
-                rd.read_parquet(path), num_partitions=max(2, NCPU))
+                rd.read_parquet(path, override_num_blocks=4 * max(1, NCPU)),
+                num_partitions=max(2, NCPU))
             return kept.count()
     else:
         import __ray_entry__ as entry

@@ -101,15 +101,16 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     def _key_out(h: np.ndarray) -> pa.Array:
         return pa.array(h if fp_mode else h.astype("U32"))
 
-    def _coarse(hk: np.ndarray) -> np.ndarray:
+    def _ikey(hk: np.ndarray) -> np.ndarray:
+        """int64 exchange key: the fingerprint itself, or the first 8
+        raw hex bytes of the md5 (uniform — exact grouping still uses
+        the full 32-byte hash inside the merge kernel)."""
         if len(hk) == 0:
             return np.zeros(0, dtype=np.int64)
         if fp_mode:
-            return (hash_u64(hk.astype(np.uint64))
-                    % np.uint64(n_coarse)).astype(np.int64)
-        # first 8 raw hex bytes of the md5 (deterministic, uniform)
-        return (np.frombuffer(hk.tobytes(), dtype=np.uint64)[::4]
-                % np.uint64(n_coarse)).astype(np.int64)
+            return hk.astype(np.int64)
+        return np.frombuffer(hk.tobytes(), dtype=np.uint64)[::4] \
+            .astype(np.int64)
 
     def pre(batch: pa.Table) -> pa.Table:
         harr = _keys(batch.column(text_col))
@@ -124,7 +125,7 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
             "content_hash": _key_out(hk),
             "keep_doc_id": pa.array(i2[starts]),   # min id (ids sorted)
             "dup_count": pa.array(counts.astype(np.int64)),
-            "_g": pa.array(_coarse(hk)),
+            "_k": pa.array(_ikey(hk)),
         })
 
     def merge(t: pa.Table) -> pa.Table:
@@ -143,9 +144,9 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                                   if len(starts) else c2[:0]),
         })
 
-    return (docs_ds.map_batches(pre, batch_format="pyarrow")
-            .groupby("_g").map_groups(merge, batch_format="pyarrow")
-            .select_columns(["content_hash", "keep_doc_id", "dup_count"]))
+    return _hash_exchange_groups(
+        docs_ds.map_batches(pre, batch_format="pyarrow"),
+        "_k", merge, G=n_coarse)
 
 
 # ---------------------------------------------------------------------------
@@ -541,7 +542,6 @@ def ngram_jaccard_adjacent(docs_ds, n_coarse: int = 32):
     join and each coarse group verifies its pairs with C-speed
     ``np.intersect1d``. Pair p is complete only when both members
     exist (boundary docs drop out)."""
-    from .._util import hash_u64
 
     def blobs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -551,11 +551,8 @@ def ngram_jaccard_adjacent(docs_ds, n_coarse: int = 32):
         pid = np.concatenate([ids, ids - 1])   # as left member / right
         role = np.r_[np.zeros(len(ids), np.int64),
                      np.ones(len(ids), np.int64)]
-        g = (hash_u64(pid.astype(np.uint64))
-             % np.uint64(n_coarse)).astype(np.int64)
         return pa.table({"p": pa.array(pid), "role": pa.array(role),
-                         "blob": pa.array(blob + blob, type=pa.binary()),
-                         "_g": pa.array(g)})
+                         "blob": pa.array(blob + blob, type=pa.binary())})
 
     def pair_group(t: pa.Table) -> pa.Table:
         p = t.column("p").to_numpy()
@@ -581,9 +578,9 @@ def ngram_jaccard_adjacent(docs_ds, n_coarse: int = 32):
                          "b": pa.array(a_out + 1),
                          "jaccard": pa.array(np.round(jac, 10))})
 
-    return (docs_ds.map_batches(blobs, batch_format="pyarrow")
-            .groupby("_g")
-            .map_groups(pair_group, batch_format="pyarrow"))
+    return _hash_exchange_groups(
+        docs_ds.map_batches(blobs, batch_format="pyarrow"),
+        "p", pair_group, G=n_coarse)
 
 
 # ---------------------------------------------------------------------------
