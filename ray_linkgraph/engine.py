@@ -933,10 +933,19 @@ def _graph_generation(graph) -> int:
     """Build-generation marker for the actor-cache key: the nonce
     build_graph/build_synthetic_graph stamp into meta at build time
     (mode builds re-save meta but keep it — they only add files, so
-    pool reuse across modes stays valid). Graphs built before the nonce
-    existed fall back to the handle's identity, which disables
-    cross-handle reuse rather than risking stale CSR caches."""
-    return graph.meta.get("build_nonce") or id(graph)
+    pool reuse across modes stays valid). Graph dirs built before the
+    nonce existed fall back to meta.json's mtime — stable across
+    Graph.load calls (so cross-query pool reuse still works for old
+    dirs) and bumped by any rebuild; a mode build also bumps it for
+    such dirs, which costs one conservative pool eviction, never a
+    stale cache."""
+    nonce = graph.meta.get("build_nonce")
+    if nonce:
+        return nonce
+    try:
+        return os.stat(os.path.join(graph.dir, "meta.json")).st_mtime_ns
+    except OSError:
+        return id(graph)
 
 
 def release_cached_actors():
