@@ -23,6 +23,7 @@ Modes:
                            over the superstep loop, step 0 excluded).
   bench.py --corpus-only   just the clean_corpus pipeline over $GRAFT_SF_DIR
                            (GRAFT_CORPUS_REPS in-process reps, best wall).
+  bench.py --queries-only  just the 41-query gate suite (weather sampling).
   bench.py --scaling-corpus  clean_corpus at num_cpus N and 4N in fresh
                            processes on the same fixture (N from
                            GRAFT_SCALING_N, default 2); reports both walls
@@ -304,6 +305,22 @@ def main():
         out = bench_corpus()
         print(json.dumps({**out, "num_cpus": NCPU,
                           "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}))
+        import ray
+        ray.shutdown()
+        return
+    if "--queries-only" in sys.argv:
+        # cheap re-run mode for weather sampling: skips the synthetic
+        # engine graph and the pages pipeline
+        _quiet_ray()
+        queries = bench_queries()
+        print(json.dumps({
+            "metric": "gate-query suite",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": NCPU,
+        }))
         import ray
         ray.shutdown()
         return

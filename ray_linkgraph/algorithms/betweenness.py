@@ -190,43 +190,47 @@ class BetweennessProgram(VertexProgram):
         # 3) per (v, source): totalCount and idCount over intermediates
         votes_dst = np.zeros(0, dtype=np.int64)
         votes_val = np.zeros(0, dtype=np.float64)
+        sel = np.zeros(0, dtype=np.int64)
         if len(v):
             order = np.argsort(key, kind="stable")
             v, source, key = v[order], source[order], key[order]
-            pseq = seqs[pi[oki][order]]       # single ragged gather
+            sel = pi[oki][order]              # inbox row per kept message
             runs = np.r_[0, np.flatnonzero(np.diff(key) != 0) + 1]
             totals = np.diff(np.r_[runs, len(key)])
             grp_of_msg = np.repeat(np.arange(len(runs)), totals)
-            # intermediates: positions 1.. of each sequence
-            L = pseq.lengths()
+            # intermediates: positions 1.. of each sequence, pulled
+            # straight from the inbox flat — the full sequences are only
+            # materialized (ragged-gathered) when they will be forwarded
+            L = lens[sel]
             mid_n = np.maximum(L - 1, 0)
             mid_total = int(mid_n.sum())
             if mid_total:
                 moff = np.zeros(len(v) + 1, dtype=np.int64)
                 np.cumsum(mid_n, out=moff[1:])
-                mpos = (np.repeat(pseq.offsets[:-1] + 1, mid_n)
+                mpos = (np.repeat(seqs.offsets[:-1][sel] + 1, mid_n)
                         + np.arange(mid_total, dtype=np.int64)
                         - np.repeat(moff[:-1], mid_n))
-                mids = pseq.flat[mpos]
+                mids = seqs.flat[mpos]
                 mgrp = np.repeat(grp_of_msg, mid_n)
-                # count per (group, mid)
-                o2 = np.lexsort((mids, mgrp))
+                # ONE mid-major sort covers both reduction levels:
+                # (mid, grp) runs give idCount per (group, mid); mid
+                # runs give the per-destination map-side combine (votes
+                # are pure sums at the receiver — the reference ships
+                # one message per (source, mid), 29.6M rows at the sf0.1
+                # bench, vs <=V combined rows here). Within a mid run
+                # the pairs stay grp-ascending, so the left-to-right
+                # float summation order — and the result — is identical
+                # to the previous grp-major + per-dst-argsort pass.
+                o2 = np.lexsort((mgrp, mids))
                 mid_s, grp_s = mids[o2], mgrp[o2]
-                r2 = np.r_[0, np.flatnonzero((np.diff(grp_s) != 0) |
-                                             (np.diff(mid_s) != 0)) + 1]
-                cnt = np.diff(np.r_[r2, len(mid_s)])
-                votes_dst = mid_s[r2]
-                votes_val = cnt / totals[grp_s[r2]]
-                # map-side combine: votes are pure sums at the receiver,
-                # so collapse to one row per destination before routing
-                # (the reference ships one message per (source, mid) —
-                # 29.6M rows at the sf0.1 bench vs <=V combined)
-                if len(votes_dst):
-                    o4 = np.argsort(votes_dst, kind="stable")
-                    vd, vv = votes_dst[o4], votes_val[o4]
-                    r4 = np.r_[0, np.flatnonzero(np.diff(vd) != 0) + 1]
-                    votes_dst = vd[r4]
-                    votes_val = np.add.reduceat(vv, r4)
+                pair = np.r_[0, np.flatnonzero((np.diff(mid_s) != 0) |
+                                               (np.diff(grp_s) != 0)) + 1]
+                cnt = np.diff(np.r_[pair, len(mid_s)])
+                pair_vote = cnt / totals[grp_s[pair]]
+                pmid = mid_s[pair]
+                first = np.r_[0, np.flatnonzero(np.diff(pmid) != 0) + 1]
+                votes_dst = pmid[first]
+                votes_val = np.add.reduceat(pair_vote, first)
             # 4) merge new arrivals (distinct (v, source))
             nv, ns = v[runs], source[runs]
             av = np.concatenate([state["a_vert"], nv])
@@ -235,7 +239,7 @@ class BetweennessProgram(VertexProgram):
             state["a_vert"], state["a_src"] = av[o3], asrc[o3]
         # 5) forwards — pointless when the step they'd arrive at is the
         # final one (paths only matter via votes one step later)
-        fwd_dst, fwd_seq = self._expand_forward(ctx, v, pseq, s) \
+        fwd_dst, fwd_seq = self._expand_forward(ctx, v, seqs[sel], s) \
             if len(v) and remaining > 1 else \
             (np.zeros(0, dtype=np.int64),
              RaggedCol(np.zeros(0, dtype=np.int64),

@@ -54,11 +54,13 @@ class RingsProgram(VertexProgram):
 
     def compute(self, ctx, state, inbox, g, s):
         dst = inbox.dst
-        (seqs,) = inbox.cols
-        v_g = dst + ctx.lo
-        n = len(dst)
         empty = RaggedCol(np.zeros(0, dtype=np.int64),
                           np.zeros(1, dtype=np.int64))
+        # an empty inbox ships zero payload columns (a partition can
+        # legitimately receive no messages at fine partitionings)
+        (seqs,) = inbox.cols if inbox.cols else (empty,)
+        v_g = dst + ctx.lo
+        n = len(dst)
         if n == 0:
             state["p_dst"] = np.zeros(0, dtype=np.int64)
             state["p_flat"], state["p_off"] = empty.flat, empty.offsets

@@ -1027,7 +1027,13 @@ class BSPEngine:
             if stale is not None and not stale.get("busy"):
                 release_cached_actors()   # other graph/generation: evict
             total_cpus = ray.cluster_resources().get("CPU", P) or P
-            cpu_per_actor = min(1.0, max(0.05, (total_cpus - 1) / max(P, 1)))
+            # Reserve at most HALF the cluster for the pool: the actors
+            # only compute while the driver waits on a superstep (so a
+            # low reservation never slows BSP compute — nothing else is
+            # hot then), but a retained/cached pool would otherwise
+            # starve Ray Data stages that run between BSP queries.
+            cpu_per_actor = min(1.0, max(0.05, (total_cpus / 2)
+                                         / max(P, 1)))
             Worker = ray.remote(PartitionWorker)
             self.actors = [
                 Worker.options(num_cpus=cpu_per_actor).remote(

@@ -43,7 +43,7 @@ from .algorithms import (pagerank, wcc, lpa, degree_centrality, sssp, kcore,
 
 MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
 CACHE_ROOT = "/tmp/ray_linkgraph_cache"
-P_GATE = 8
+P_GATE = 32
 SSSP_SOURCES = 5        # sources = nodes 0..4
 PR_STEPS = 6            # supersteps (incl. superstep 0) for pagerank_k
 WCC_ROUNDS = 20

@@ -503,3 +503,28 @@ def test_louvain_join_route_parity(built):
         und[s].append((d, 1.0))
     exp = naive_ref.naive_louvain_one_level(g.V, und, max_rounds=10)
     assert res["community"].tolist() == exp
+
+
+def test_empty_inbox_partitions(tmp_path):
+    """A partition that receives ZERO messages in a superstep gets an
+    inbox with no payload columns (engine ships nothing) — every
+    ragged-payload program must tolerate it. Regression: at fine
+    partitionings (P comparable to V) rings crashed on the unpack
+    (found raising P_GATE 8 -> 32). A 3-path plus isolated vertices
+    over P=6 guarantees several silent partitions every step."""
+    import pyarrow as pa
+    from ray_linkgraph.graph import build_graph
+    from ray_linkgraph.algorithms.rings import rings_detection
+    from ray_linkgraph.algorithms.betweenness import betweenness_centrality
+    from ray_linkgraph.algorithms.subgraph import subgraph_match
+
+    t = pa.table({"src": ["0", "1", "2", "7", "8"],
+                  "dst": ["1", "2", "0", "8", "9"]})
+    g = build_graph(rd.from_arrow(t), str(tmp_path / "tiny"), n_parts=6)
+    r = rings_detection(g, max_supersteps=4).to_arrow()
+    # the 0-1-2 triangle is one ring, counted at its min vertex
+    assert int(np.asarray(r["ring_count"]).sum()) == 1
+    b = betweenness_centrality(g, max_supersteps=4).to_arrow()
+    assert b.num_rows == g.V
+    m = subgraph_match(g, [(0, 1), (1, 2)], 3)
+    assert m.to_arrow().num_rows >= 1
